@@ -1,0 +1,55 @@
+"""Test configuration: force JAX onto a virtual 8-device CPU platform.
+
+Must set env vars before jax initializes its backends, hence module scope.
+The TPU tunnel is intentionally avoided in unit tests; the bench script and
+driver exercise the real chip.
+"""
+
+import os
+import sys
+from pathlib import Path
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+REPO_ROOT = Path(__file__).resolve().parent.parent
+if str(REPO_ROOT) not in sys.path:
+    sys.path.insert(0, str(REPO_ROOT))
+
+REFERENCE_ROOT = Path("/root/reference")
+
+
+def reference_available() -> bool:
+    return REFERENCE_ROOT.exists()
+
+
+def add_reference_to_path() -> None:
+    """Allow `import src.*` from the read-only reference for parity tests.
+
+    The reference package __init__ files eagerly import soundfile/torchaudio
+    (absent here), so we register namespace-style stand-ins for `src`,
+    `src.utils`, `src.models`, `src.data` whose __path__ points into the
+    reference tree without executing their __init__ side effects. Leaf
+    modules (number_norm, tokenizer, dit, flow, ...) then import normally.
+    """
+    import types
+
+    ref = str(REFERENCE_ROOT)
+    if ref not in sys.path:
+        sys.path.insert(0, ref)
+    for name, sub in [
+        ("src", ""),
+        ("src.utils", "utils"),
+        ("src.models", "models"),
+        ("src.data", "data"),
+        ("src.training", "training"),
+    ]:
+        if name in sys.modules:
+            continue
+        mod = types.ModuleType(name)
+        mod.__path__ = [str(REFERENCE_ROOT / "src" / sub if sub else REFERENCE_ROOT / "src")]
+        sys.modules[name] = mod
