@@ -1,0 +1,122 @@
+"""Log-mel spectrogram in pure JAX, numerically matching the reference contract.
+
+The reference uses torchaudio's ``MelSpectrogram(power=1, center=True)`` plus
+``log(clamp(x, 1e-5))`` (reference src/utils/audio.py:50-58,94-110), i.e. the
+exact feature extraction of the pretrained Vocos vocoder:
+
+- reflect-pad by n_fft//2 on both sides (center=True)
+- periodic Hann window, hop 256, win 1024 = n_fft
+- onesided rFFT, magnitude (power=1)
+- HTK-scale mel filterbank, f_min=0, f_max=sr/2, no norm (torchaudio defaults)
+- natural log with a 1e-5 floor
+
+Everything here is shape-static and jit/vmap friendly; the filterbank and
+window are precomputed host-side once per config.
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@dataclass(frozen=True)
+class MelConfig:
+    sample_rate: int = 24000
+    n_fft: int = 1024
+    hop_length: int = 256
+    win_length: int = 1024
+    n_mels: int = 100
+    f_min: float = 0.0
+    f_max: float | None = None  # defaults to sample_rate / 2
+    log_clip: float = 1e-5
+
+    @property
+    def fmax(self) -> float:
+        return self.sample_rate / 2 if self.f_max is None else self.f_max
+
+    @property
+    def n_freqs(self) -> int:
+        return self.n_fft // 2 + 1
+
+
+def hann_window(win_length: int, periodic: bool = True) -> np.ndarray:
+    """Hann window; periodic form matches torch.hann_window defaults."""
+    n = win_length + 1 if periodic else win_length
+    w = 0.5 - 0.5 * np.cos(2.0 * np.pi * np.arange(n) / max(n - 1, 1))
+    return w[:win_length].astype(np.float32)
+
+
+def _hz_to_mel_htk(f: np.ndarray | float) -> np.ndarray:
+    return 2595.0 * np.log10(1.0 + np.asarray(f, dtype=np.float64) / 700.0)
+
+
+def _mel_to_hz_htk(m: np.ndarray) -> np.ndarray:
+    return 700.0 * (10.0 ** (np.asarray(m, dtype=np.float64) / 2595.0) - 1.0)
+
+
+def mel_filterbank(cfg: MelConfig) -> np.ndarray:
+    """Triangular HTK mel filterbank [n_freqs, n_mels], torchaudio-compatible.
+
+    Mirrors torchaudio.functional.melscale_fbanks(norm=None, mel_scale="htk"):
+    FFT bin centers are linspace(0, sample_rate // 2, n_freqs).
+    """
+    all_freqs = np.linspace(0, cfg.sample_rate // 2, cfg.n_freqs)
+    mel_pts = np.linspace(
+        _hz_to_mel_htk(cfg.f_min), _hz_to_mel_htk(cfg.fmax), cfg.n_mels + 2
+    )
+    f_pts = _mel_to_hz_htk(mel_pts)
+    f_diff = np.diff(f_pts)  # [n_mels + 1]
+    slopes = f_pts[None, :] - all_freqs[:, None]  # [n_freqs, n_mels + 2]
+    down = -slopes[:, :-2] / f_diff[:-1]
+    up = slopes[:, 2:] / f_diff[1:]
+    fb = np.maximum(0.0, np.minimum(down, up))
+    return fb.astype(np.float32)
+
+
+@functools.lru_cache(maxsize=8)
+def _constants(cfg: MelConfig) -> tuple[np.ndarray, np.ndarray]:
+    # NOTE: cache host numpy arrays, never jnp arrays — a jnp constant created
+    # during a jit trace would be memoized as a leaked tracer.
+    window = np.zeros(cfg.n_fft, dtype=np.float32)
+    offset = (cfg.n_fft - cfg.win_length) // 2
+    window[offset: offset + cfg.win_length] = hann_window(cfg.win_length)
+    return window, mel_filterbank(cfg)
+
+
+def frame_signal(audio: jnp.ndarray, n_fft: int, hop: int) -> jnp.ndarray:
+    """Center-pad (reflect) and slice into overlapping frames.
+
+    audio: [..., L] → frames [..., 1 + L // hop, n_fft].
+    """
+    pad = n_fft // 2
+    pad_widths = [(0, 0)] * (audio.ndim - 1) + [(pad, pad)]
+    padded = jnp.pad(audio, pad_widths, mode="reflect")
+    n_frames = 1 + audio.shape[-1] // hop
+    idx = jnp.arange(n_frames)[:, None] * hop + jnp.arange(n_fft)[None, :]
+    return padded[..., idx]
+
+
+def stft_magnitude(audio: jnp.ndarray, cfg: MelConfig) -> jnp.ndarray:
+    """Magnitude spectrogram [..., n_freqs, n_frames] (power=1, center=True)."""
+    window, _ = _constants(cfg)
+    frames = frame_signal(audio.astype(jnp.float32), cfg.n_fft, cfg.hop_length)
+    spec = jnp.fft.rfft(frames * window, axis=-1)  # [..., T, F]
+    return jnp.abs(spec).swapaxes(-1, -2)
+
+
+def log_mel_spectrogram(audio: jnp.ndarray, cfg: MelConfig) -> jnp.ndarray:
+    """Log-mel features [..., n_mels, n_frames] matching the Vocos contract."""
+    _, fb = _constants(cfg)
+    mag = stft_magnitude(audio, cfg)  # [..., F, T]
+    mel = jnp.einsum("...ft,fm->...mt", mag, fb)
+    return jnp.log(jnp.clip(mel, min=cfg.log_clip))
+
+
+@functools.partial(jax.jit, static_argnums=(1,))
+def log_mel_spectrogram_jit(audio: jnp.ndarray, cfg: MelConfig) -> jnp.ndarray:
+    return log_mel_spectrogram(audio, cfg)
