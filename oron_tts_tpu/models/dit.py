@@ -1,0 +1,186 @@
+"""Diffusion Transformer backbone for F5-TTS flow matching (JAX/flax).
+
+Functional redesign of reference /root/reference/src/models/dit.py: instead of
+the reference's stateful text-embedding cache, the text embedding is computed
+once by the caller (hoisted out of the ODE loop) and passed in; the CFG
+double-batch packing is an explicit method. Drop flags are traced scalars so
+CFG dropout works inside jit without recompilation.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from oron_tts_tpu.models.layers import (
+    AdaLayerNormFinal,
+    ConvPositionEmbedding,
+    DiTBlock,
+    TimestepEmbedding,
+    rope_tables,
+)
+from oron_tts_tpu.models.text_embed import TextEmbedding
+
+
+class InputEmbedding(nn.Module):
+    """concat([x, cond, text_embed]) → Dense(dim) + residual conv-pos embed."""
+
+    mel_dim: int
+    text_dim: int
+    out_dim: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jnp.ndarray,
+        cond: jnp.ndarray,
+        text_embed: jnp.ndarray,
+        drop_audio_cond: jnp.ndarray | bool = False,
+        mask: jnp.ndarray | None = None,
+    ) -> jnp.ndarray:
+        drop = jnp.asarray(drop_audio_cond)
+        cond = jnp.where(drop, jnp.zeros_like(cond), cond)
+        h = nn.Dense(self.out_dim, dtype=self.dtype, name="proj")(
+            jnp.concatenate([x, cond, text_embed.astype(x.dtype)], axis=-1)
+        )
+        pos = ConvPositionEmbedding(
+            dim=self.out_dim, dtype=self.dtype, name="conv_pos_embed"
+        )(h, mask=mask)
+        return pos + h
+
+
+class DiT(nn.Module):
+    dim: int = 1024
+    depth: int = 22
+    heads: int = 16
+    dim_head: int = 64
+    ff_mult: int = 4
+    dropout: float = 0.1
+    mel_dim: int = 100
+    vocab_size: int = 65
+    text_dim: int = 512
+    conv_layers: int = 4
+    gradient_checkpointing: bool = False
+    dtype: Any = jnp.float32
+    use_flash: bool = False
+
+    def setup(self) -> None:
+        self.time_embed = TimestepEmbedding(self.dim, dtype=self.dtype)
+        self.text_embed = TextEmbedding(
+            vocab_size=self.vocab_size,
+            text_dim=self.text_dim,
+            conv_layers=self.conv_layers,
+            dtype=self.dtype,
+        )
+        self.input_embed = InputEmbedding(
+            self.mel_dim, self.text_dim, self.dim, dtype=self.dtype
+        )
+        block = DiTBlock
+        if self.gradient_checkpointing:
+            block = nn.remat(DiTBlock, static_argnums=(5,))
+        self.blocks = [
+            block(
+                dim=self.dim,
+                heads=self.heads,
+                dim_head=self.dim_head,
+                ff_mult=self.ff_mult,
+                dropout=self.dropout,
+                dtype=self.dtype,
+                use_flash=self.use_flash,
+                name=f"block{i}",
+            )
+            for i in range(self.depth)
+        ]
+        self.norm_out = AdaLayerNormFinal(self.dim, dtype=self.dtype)
+        self.proj_out = nn.Dense(
+            self.mel_dim,
+            kernel_init=nn.initializers.zeros,
+            bias_init=nn.initializers.zeros,
+            dtype=self.dtype,
+        )
+
+    def embed_text(
+        self, text_ids: jnp.ndarray, seq_len: int, drop_text: jnp.ndarray | bool = False
+    ) -> jnp.ndarray:
+        """Hoistable text embedding (compute once per CFG branch, reuse per step)."""
+        return self.text_embed(text_ids, seq_len, drop_text=drop_text)
+
+    def _transformer(
+        self,
+        h: jnp.ndarray,
+        t: jnp.ndarray,
+        mask: jnp.ndarray | None,
+        deterministic: bool,
+    ) -> jnp.ndarray:
+        seq_len = h.shape[1]
+        cos, sin = rope_tables(seq_len, self.dim_head)
+        rope = (jnp.asarray(cos), jnp.asarray(sin))
+        for blk in self.blocks:
+            h = blk(h, t, mask, rope, deterministic)
+        h = self.norm_out(h, t)
+        return self.proj_out(h)
+
+    def __call__(
+        self,
+        x: jnp.ndarray,
+        cond: jnp.ndarray,
+        text_ids: jnp.ndarray,
+        time: jnp.ndarray,
+        mask: jnp.ndarray | None = None,
+        drop_audio_cond: jnp.ndarray | bool = False,
+        drop_text: jnp.ndarray | bool = False,
+        deterministic: bool = True,
+        text_embed: jnp.ndarray | None = None,
+    ) -> jnp.ndarray:
+        """Predict the velocity field [B, T, mel_dim].
+
+        Args:
+            x: noised mel [B, T, mel_dim]; cond: conditioning mel [B, T, mel_dim]
+            text_ids: [B, Nt]; time: [B] or scalar; mask: valid frames [B, T]
+            text_embed: precomputed by embed_text() to skip the text encoder
+        """
+        if time.ndim == 0:
+            time = jnp.broadcast_to(time, (x.shape[0],))
+        t = self.time_embed(time)
+        if text_embed is None:
+            text_embed = self.embed_text(text_ids, x.shape[1], drop_text=drop_text)
+        h = self.input_embed(
+            x, cond, text_embed, drop_audio_cond=drop_audio_cond, mask=mask
+        )
+        return self._transformer(h, t, mask, deterministic)
+
+    def forward_cfg(
+        self,
+        x: jnp.ndarray,
+        cond: jnp.ndarray,
+        text_embed_cond: jnp.ndarray,
+        text_embed_uncond: jnp.ndarray,
+        time: jnp.ndarray,
+        mask: jnp.ndarray | None = None,
+    ) -> tuple[jnp.ndarray, jnp.ndarray]:
+        """CFG double-batch: one transformer pass over [cond; uncond].
+
+        Mirrors reference dit.py:200-215 — the unconditional branch zeroes the
+        audio conditioning and uses the dropped-text embedding.
+
+        Returns (pred, null_pred), each [B, T, mel_dim].
+        """
+        if time.ndim == 0:
+            time = jnp.broadcast_to(time, (x.shape[0],))
+        t = self.time_embed(time)
+
+        h_cond = self.input_embed(
+            x, cond, text_embed_cond, drop_audio_cond=False, mask=mask
+        )
+        h_uncond = self.input_embed(
+            x, cond, text_embed_uncond, drop_audio_cond=True, mask=mask
+        )
+        h = jnp.concatenate([h_cond, h_uncond], axis=0)
+        t2 = jnp.concatenate([t, t], axis=0)
+        mask2 = None if mask is None else jnp.concatenate([mask, mask], axis=0)
+        out = self._transformer(h, t2, mask2, deterministic=True)
+        b = x.shape[0]
+        return out[:b], out[b:]

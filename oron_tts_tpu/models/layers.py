@@ -1,0 +1,315 @@
+"""DiT building blocks in flax.linen, feature-last [B, T, C] layout.
+
+Numerical parity targets the reference modules
+(/root/reference/src/models/modules.py): AdaLN-gated DiT blocks, RoPE
+attention with key-padding masks, grouped-conv position embedding,
+ConvNeXtV2 text blocks with GRN, sinusoidal timestep MLP.
+
+Conventions:
+- params live in float32; ``dtype`` selects the compute precision
+  (bfloat16 on TPU for training/inference, float32 for parity tests)
+- all shapes are static; masks are boolean [B, T]
+- RoPE tables are built host-side per sequence length and passed in
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+Dtype = Any
+
+
+def mish(x: jnp.ndarray) -> jnp.ndarray:
+    return x * jnp.tanh(jax.nn.softplus(x))
+
+
+def sinusoidal_embedding(
+    t: jnp.ndarray, dim: int, scale: float = 1000.0, theta: float = 10000.0
+) -> jnp.ndarray:
+    """[B] → [B, dim]: cat(sin, cos) with the reference's frequency layout."""
+    half = dim // 2
+    freqs = jnp.exp(
+        jnp.arange(half, dtype=jnp.float32) * (-math.log(theta) / (half - 1))
+    )
+    args = scale * t.astype(jnp.float32)[:, None] * freqs[None, :]
+    return jnp.concatenate([jnp.sin(args), jnp.cos(args)], axis=-1)
+
+
+def rope_tables(seq_len: int, dim_head: int, theta: float = 10000.0) -> tuple[np.ndarray, np.ndarray]:
+    """Precompute RoPE cos/sin [seq_len, dim_head] (rotate-half convention)."""
+    inv_freq = 1.0 / (theta ** (np.arange(0, dim_head, 2, dtype=np.float64) / dim_head))
+    freqs = np.outer(np.arange(seq_len, dtype=np.float64), inv_freq)
+    emb = np.concatenate([freqs, freqs], axis=-1)
+    return np.cos(emb).astype(np.float32), np.sin(emb).astype(np.float32)
+
+
+def apply_rope(
+    q: jnp.ndarray, k: jnp.ndarray, cos: jnp.ndarray, sin: jnp.ndarray
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """q, k: [B, H, T, D]; cos/sin: [T, D]."""
+
+    def rot_half(x: jnp.ndarray) -> jnp.ndarray:
+        half = x.shape[-1] // 2
+        return jnp.concatenate([-x[..., half:], x[..., :half]], axis=-1)
+
+    cos = cos[None, None].astype(q.dtype)
+    sin = sin[None, None].astype(q.dtype)
+    return q * cos + rot_half(q) * sin, k * cos + rot_half(k) * sin
+
+
+def text_position_table(dim: int, max_pos: int = 8192, theta: float = 10000.0) -> np.ndarray:
+    """Sinusoidal positions for the text encoder: cat(cos, sin) per position."""
+    freqs = 1.0 / (theta ** (np.arange(0, dim, 2, dtype=np.float64)[: dim // 2] / dim))
+    angles = np.outer(np.arange(max_pos, dtype=np.float64), freqs)
+    return np.concatenate([np.cos(angles), np.sin(angles)], axis=-1).astype(np.float32)
+
+
+class TimestepEmbedding(nn.Module):
+    dim: int
+    freq_embed_dim: int = 256
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, t: jnp.ndarray) -> jnp.ndarray:
+        h = sinusoidal_embedding(t, self.freq_embed_dim).astype(self.dtype)
+        h = nn.Dense(self.dim, dtype=self.dtype, name="mlp_in")(h)
+        h = nn.silu(h)
+        return nn.Dense(self.dim, dtype=self.dtype, name="mlp_out")(h)
+
+
+class ConvPositionEmbedding(nn.Module):
+    """Two grouped 1-D convs (k=31, groups=16) with Mish, padding re-masked."""
+
+    dim: int
+    kernel_size: int = 31
+    groups: int = 16
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, mask: jnp.ndarray | None = None) -> jnp.ndarray:
+        if mask is not None:
+            m = mask[..., None]
+            x = jnp.where(m, x, 0.0)
+        for name in ("conv1", "conv2"):
+            x = nn.Conv(
+                self.dim,
+                kernel_size=(self.kernel_size,),
+                padding="SAME",
+                feature_group_count=self.groups,
+                dtype=self.dtype,
+                name=name,
+            )(x)
+            if mask is not None:
+                x = jnp.where(mask[..., None], x, 0.0)
+            x = mish(x)
+        return x
+
+
+class GRN(nn.Module):
+    """Global Response Normalization over the time axis (ConvNeXt V2)."""
+
+    dim: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        gamma = self.param("gamma", nn.initializers.zeros, (1, 1, self.dim))
+        beta = self.param("beta", nn.initializers.zeros, (1, 1, self.dim))
+        gx = jnp.sqrt(jnp.sum(jnp.square(x), axis=1, keepdims=True))
+        nx = gx / (jnp.mean(gx, axis=-1, keepdims=True) + 1e-6)
+        return gamma.astype(x.dtype) * (x * nx) + beta.astype(x.dtype) + x
+
+
+class ConvNeXtV2Block(nn.Module):
+    dim: int
+    intermediate_dim: int
+    dilation: int = 1
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        residual = x
+        x = nn.Conv(
+            self.dim,
+            kernel_size=(7,),
+            padding=[(self.dilation * 3, self.dilation * 3)],
+            feature_group_count=self.dim,
+            kernel_dilation=(self.dilation,),
+            dtype=self.dtype,
+            name="dwconv",
+        )(x)
+        x = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm")(x)
+        x = nn.Dense(self.intermediate_dim, dtype=self.dtype, name="pwconv1")(x)
+        x = nn.gelu(x, approximate=False)
+        x = GRN(self.intermediate_dim, dtype=self.dtype, name="grn")(x)
+        x = nn.Dense(self.dim, dtype=self.dtype, name="pwconv2")(x)
+        return residual + x
+
+
+class AdaLayerNorm(nn.Module):
+    """6-parameter AdaLN producing MSA shift/scale/gate and MLP shift/scale/gate."""
+
+    dim: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self, x: jnp.ndarray, emb: jnp.ndarray
+    ) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+        mods = nn.Dense(
+            self.dim * 6,
+            kernel_init=nn.initializers.zeros,
+            bias_init=nn.initializers.zeros,
+            dtype=self.dtype,
+            name="linear",
+        )(nn.silu(emb))
+        shift_msa, scale_msa, gate_msa, shift_mlp, scale_mlp, gate_mlp = jnp.split(
+            mods, 6, axis=-1
+        )
+        normed = nn.LayerNorm(
+            use_bias=False, use_scale=False, epsilon=1e-6, dtype=self.dtype
+        )(x)
+        out = normed * (1 + scale_msa[:, None]) + shift_msa[:, None]
+        return out, gate_msa, shift_mlp, scale_mlp, gate_mlp
+
+
+class AdaLayerNormFinal(nn.Module):
+    dim: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, emb: jnp.ndarray) -> jnp.ndarray:
+        mods = nn.Dense(
+            self.dim * 2,
+            kernel_init=nn.initializers.zeros,
+            bias_init=nn.initializers.zeros,
+            dtype=self.dtype,
+            name="linear",
+        )(nn.silu(emb))
+        scale, shift = jnp.split(mods, 2, axis=-1)
+        normed = nn.LayerNorm(
+            use_bias=False, use_scale=False, epsilon=1e-6, dtype=self.dtype
+        )(x)
+        return normed * (1 + scale)[:, None] + shift[:, None]
+
+
+class Attention(nn.Module):
+    """Bidirectional self-attention with RoPE and key-padding masking."""
+
+    dim: int
+    heads: int
+    dim_head: int = 64
+    dropout: float = 0.0
+    dtype: Dtype = jnp.float32
+    use_flash: bool = False
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jnp.ndarray,
+        mask: jnp.ndarray | None = None,
+        rope: tuple[jnp.ndarray, jnp.ndarray] | None = None,
+        deterministic: bool = True,
+    ) -> jnp.ndarray:
+        B, T, _ = x.shape
+        inner = self.heads * self.dim_head
+
+        def heads_first(y: jnp.ndarray) -> jnp.ndarray:
+            return y.reshape(B, T, self.heads, self.dim_head).transpose(0, 2, 1, 3)
+
+        q = heads_first(nn.Dense(inner, dtype=self.dtype, name="to_q")(x))
+        k = heads_first(nn.Dense(inner, dtype=self.dtype, name="to_k")(x))
+        v = heads_first(nn.Dense(inner, dtype=self.dtype, name="to_v")(x))
+
+        if rope is not None:
+            q, k = apply_rope(q, k, rope[0], rope[1])
+
+        if self.use_flash and mask is None:
+            from oron_tts_tpu.ops.flash_attention import flash_attention
+
+            out = flash_attention(q, k, v)
+        elif self.use_flash:
+            from oron_tts_tpu.ops.flash_attention import flash_attention
+
+            out = flash_attention(q, k, v, kv_mask=mask)
+        else:
+            scale = 1.0 / math.sqrt(self.dim_head)
+            logits = jnp.einsum(
+                "bhtd,bhsd->bhts", q, k, preferred_element_type=jnp.float32
+            ) * scale
+            if mask is not None:
+                logits = jnp.where(mask[:, None, None, :], logits, -1e9)
+            probs = jax.nn.softmax(logits, axis=-1).astype(self.dtype)
+            out = jnp.einsum("bhts,bhsd->bhtd", probs, v)
+
+        out = out.transpose(0, 2, 1, 3).reshape(B, T, inner)
+        out = nn.Dense(self.dim, dtype=self.dtype, name="to_out")(out)
+        out = nn.Dropout(self.dropout)(out, deterministic=deterministic)
+        if mask is not None:
+            out = jnp.where(mask[..., None], out, 0.0)
+        return out
+
+
+class FeedForward(nn.Module):
+    dim: int
+    mult: int = 4
+    dropout: float = 0.0
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, deterministic: bool = True) -> jnp.ndarray:
+        inner = int(self.dim * self.mult)
+        x = nn.Dense(inner, dtype=self.dtype, name="in_proj")(x)
+        x = nn.gelu(x, approximate=True)
+        x = nn.Dropout(self.dropout)(x, deterministic=deterministic)
+        return nn.Dense(self.dim, dtype=self.dtype, name="out_proj")(x)
+
+
+class DiTBlock(nn.Module):
+    dim: int
+    heads: int
+    dim_head: int = 64
+    ff_mult: int = 4
+    dropout: float = 0.1
+    dtype: Dtype = jnp.float32
+    use_flash: bool = False
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jnp.ndarray,
+        t: jnp.ndarray,
+        mask: jnp.ndarray | None = None,
+        rope: tuple[jnp.ndarray, jnp.ndarray] | None = None,
+        deterministic: bool = True,
+    ) -> jnp.ndarray:
+        normed, gate_msa, shift_mlp, scale_mlp, gate_mlp = AdaLayerNorm(
+            self.dim, dtype=self.dtype, name="attn_norm"
+        )(x, t)
+        attn_out = Attention(
+            dim=self.dim,
+            heads=self.heads,
+            dim_head=self.dim_head,
+            dropout=self.dropout,
+            dtype=self.dtype,
+            use_flash=self.use_flash,
+            name="attn",
+        )(normed, mask=mask, rope=rope, deterministic=deterministic)
+        x = x + gate_msa[:, None] * attn_out
+
+        ff_normed = nn.LayerNorm(
+            use_bias=False, use_scale=False, epsilon=1e-6, dtype=self.dtype,
+            name="ff_norm",
+        )(x)
+        ff_normed = ff_normed * (1 + scale_mlp[:, None]) + shift_mlp[:, None]
+        ff_out = FeedForward(
+            dim=self.dim, mult=self.ff_mult, dropout=self.dropout,
+            dtype=self.dtype, name="ff",
+        )(ff_normed, deterministic=deterministic)
+        return x + gate_mlp[:, None] * ff_out

@@ -1,0 +1,144 @@
+"""Conversion between reference PyTorch checkpoints and flax param pytrees.
+
+Layout rules:
+- torch Linear weight [out, in]  → flax Dense kernel [in, out] (transpose)
+- torch Conv1d weight [out, in/g, k] → flax Conv kernel [k, in/g, out]
+- torch Embedding / LayerNorm / GRN params keep their shapes
+
+Key map follows reference /root/reference/src/models/dit.py and modules.py.
+Accepts torch tensors or numpy arrays; torch is only needed to read ``.pt``
+files, never for compute.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Mapping
+
+import numpy as np
+
+_ORIG_MOD = "._orig_mod."
+
+
+def _np(value: Any) -> np.ndarray:
+    if hasattr(value, "detach"):
+        value = value.detach().cpu().numpy()
+    return np.asarray(value)
+
+
+def _linear(sd: Mapping[str, Any], key: str) -> dict[str, np.ndarray]:
+    return {"kernel": _np(sd[f"{key}.weight"]).T, "bias": _np(sd[f"{key}.bias"])}
+
+
+def _conv1d(sd: Mapping[str, Any], key: str) -> dict[str, np.ndarray]:
+    return {
+        "kernel": _np(sd[f"{key}.weight"]).transpose(2, 1, 0),
+        "bias": _np(sd[f"{key}.bias"]),
+    }
+
+
+def _layernorm(sd: Mapping[str, Any], key: str) -> dict[str, np.ndarray]:
+    return {"scale": _np(sd[f"{key}.weight"]), "bias": _np(sd[f"{key}.bias"])}
+
+
+def strip_compiled_prefix(state_dict: Mapping[str, Any]) -> dict[str, Any]:
+    """Normalize torch.compile's `._orig_mod.` key decoration away."""
+    return {k.replace(_ORIG_MOD, "."): v for k, v in state_dict.items()}
+
+
+def strip_prefix(state_dict: Mapping[str, Any], prefix: str) -> dict[str, Any]:
+    plen = len(prefix)
+    return {k[plen:]: v for k, v in state_dict.items() if k.startswith(prefix)}
+
+
+def _convnext_block(sd: Mapping[str, Any], key: str) -> dict[str, Any]:
+    return {
+        "dwconv": _conv1d(sd, f"{key}.dwconv"),
+        "norm": _layernorm(sd, f"{key}.norm"),
+        "pwconv1": _linear(sd, f"{key}.pwconv1"),
+        "grn": {
+            "gamma": _np(sd[f"{key}.grn.gamma"]),
+            "beta": _np(sd[f"{key}.grn.beta"]),
+        },
+        "pwconv2": _linear(sd, f"{key}.pwconv2"),
+    }
+
+
+def convert_dit_state_dict(
+    state_dict: Mapping[str, Any],
+    depth: int,
+    conv_layers: int,
+) -> dict[str, Any]:
+    """Reference torch DiT state_dict → flax params for models.dit.DiT."""
+    sd = strip_compiled_prefix(state_dict)
+
+    text_embed: dict[str, Any] = {
+        "embed": {"embedding": _np(sd["text_embed.text_embed.weight"])}
+    }
+    for i in range(conv_layers):
+        text_embed[f"block{i}"] = _convnext_block(sd, f"text_embed.text_blocks.{i}")
+
+    params: dict[str, Any] = {
+        "time_embed": {
+            "mlp_in": _linear(sd, "time_embed.time_mlp.0"),
+            "mlp_out": _linear(sd, "time_embed.time_mlp.2"),
+        },
+        "text_embed": text_embed,
+        "input_embed": {
+            "proj": _linear(sd, "input_embed.proj"),
+            "conv_pos_embed": {
+                "conv1": _conv1d(sd, "input_embed.conv_pos_embed.conv1d.0"),
+                "conv2": _conv1d(sd, "input_embed.conv_pos_embed.conv1d.2"),
+            },
+        },
+        "norm_out": {"linear": _linear(sd, "norm_out.linear")},
+        "proj_out": _linear(sd, "proj_out"),
+    }
+    for i in range(depth):
+        b = f"transformer_blocks.{i}"
+        params[f"block{i}"] = {
+            "attn_norm": {"linear": _linear(sd, f"{b}.attn_norm.linear")},
+            "attn": {
+                "to_q": _linear(sd, f"{b}.attn.to_q"),
+                "to_k": _linear(sd, f"{b}.attn.to_k"),
+                "to_v": _linear(sd, f"{b}.attn.to_v"),
+                "to_out": _linear(sd, f"{b}.attn.to_out.0"),
+            },
+            "ff": {
+                "in_proj": _linear(sd, f"{b}.ff.ff.0"),
+                "out_proj": _linear(sd, f"{b}.ff.ff.3"),
+            },
+        }
+    return params
+
+
+def convert_f5tts_state_dict(
+    state_dict: Mapping[str, Any],
+    depth: int,
+    conv_layers: int,
+) -> dict[str, Any]:
+    """Reference F5TTS (cfm.backbone.*) state_dict → flax DiT params."""
+    sd = strip_compiled_prefix(state_dict)
+    backbone = strip_prefix(sd, "cfm.backbone.")
+    if not backbone:  # maybe already backbone-level keys
+        backbone = sd
+    return convert_dit_state_dict(backbone, depth=depth, conv_layers=conv_layers)
+
+
+def load_torch_checkpoint(path: str) -> dict[str, Any]:
+    """Read a reference ``.pt``/``.safetensors`` checkpoint into numpy arrays.
+
+    Prefers EMA weights like reference scripts/infer.py:20-24.
+    """
+    if str(path).endswith(".safetensors"):
+        from safetensors.numpy import load_file
+
+        return dict(load_file(path))
+    import torch
+
+    ckpt = torch.load(path, map_location="cpu", weights_only=False)
+    if isinstance(ckpt, dict):
+        for key in ("ema_state_dict", "ema_model_state_dict", "model_state_dict"):
+            if key in ckpt:
+                ckpt = ckpt[key]
+                break
+    return {k: _np(v) for k, v in ckpt.items()}
