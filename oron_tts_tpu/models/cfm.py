@@ -1,0 +1,259 @@
+"""Optimal-Transport Conditional Flow Matching: loss + Euler ODE sampler.
+
+Semantics parity with reference /root/reference/src/models/flow.py:
+- training: per-sample random contiguous span mask with fraction
+  ~ U(frac_lengths_mask), per-sample t ~ U(0,1), batch-level CFG dropout
+  (one Bernoulli per batch; drop_text forces drop_audio), masked-span MSE
+- eval: deterministic (t=0.5, centered mid-fraction span, fixed noise key,
+  no dropout) so val_loss is epoch-comparable
+- sampling: CFG double-batch velocity, sway-warped timesteps, explicit
+  Euler via lax.scan, conditioning region re-substituted at the end
+
+TPU-first design: everything is shape-static and jittable; noise is
+injectable for cross-framework parity tests; the text embedding is computed
+once per CFG branch and closed over by the scan body (the reference's cache,
+but functional).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+
+from oron_tts_tpu.models.dit import DiT
+
+
+def lens_to_mask(lens: jnp.ndarray, length: int) -> jnp.ndarray:
+    return jnp.arange(length)[None, :] < lens[:, None]
+
+
+def span_mask_from_fracs(
+    lens: jnp.ndarray,
+    frac_lengths: jnp.ndarray,
+    starts_u: jnp.ndarray,
+    length: int,
+) -> jnp.ndarray:
+    """Contiguous random span per row: start ~ U * (len - span), width frac*len."""
+    span = (frac_lengths * lens).astype(jnp.int32)
+    max_start = lens - span
+    start = jnp.clip((max_start * starts_u).astype(jnp.int32), 0, None)
+    end = start + span
+    pos = jnp.arange(length)[None, :]
+    return (pos >= start[:, None]) & (pos < end[:, None])
+
+
+def sway_timesteps(steps: int, coef: float | None, dtype=jnp.float32) -> jnp.ndarray:
+    """Uniform [0,1] grid of steps+1 points, optionally sway-warped."""
+    t = jnp.linspace(0.0, 1.0, steps + 1, dtype=dtype)
+    if coef is not None:
+        t = t + coef * (jnp.cos(jnp.pi / 2 * t) - 1 + t)
+    return t
+
+
+@dataclass(frozen=True)
+class CFMConfig:
+    audio_drop_prob: float = 0.3
+    cond_drop_prob: float = 0.2
+    frac_lengths_mask: tuple[float, float] = (0.7, 1.0)
+    n_mels: int = 100
+
+
+class CFM:
+    """Stateless trainer/sampler around a DiT backbone."""
+
+    def __init__(self, backbone: DiT, config: CFMConfig | None = None) -> None:
+        self.backbone = backbone
+        self.config = config or CFMConfig()
+
+    # ── training ──────────────────────────────────────────────────────────
+
+    def loss(
+        self,
+        variables: Any,
+        mel: jnp.ndarray,
+        text_ids: jnp.ndarray,
+        lens: jnp.ndarray | None,
+        rng: jax.Array,
+        train: bool = True,
+        x0: jnp.ndarray | None = None,
+    ) -> jnp.ndarray:
+        """Scalar CFM loss. mel: [B, n_mels, T] or [B, T, n_mels]."""
+        cfg = self.config
+        if mel.ndim == 3 and mel.shape[1] == cfg.n_mels:
+            mel = mel.swapaxes(1, 2)
+        x1 = mel
+        batch, seq_len = x1.shape[0], x1.shape[1]
+
+        if lens is None:
+            lens = jnp.full((batch,), seq_len, dtype=jnp.int32)
+        lens = lens.astype(jnp.int32)
+        mask = lens_to_mask(lens, seq_len)
+
+        k_frac, k_start, k_t, k_noise, k_drop_a, k_drop_t, k_dropout = (
+            jax.random.split(rng, 7)
+        )
+
+        lo, hi = cfg.frac_lengths_mask
+        if train:
+            frac = jax.random.uniform(k_frac, (batch,), minval=lo, maxval=hi)
+            starts_u = jax.random.uniform(k_start, (batch,))
+            span = span_mask_from_fracs(lens, frac, starts_u, seq_len) & mask
+            t = jax.random.uniform(k_t, (batch,), dtype=x1.dtype)
+            drop_audio = jax.random.uniform(k_drop_a, ()) < cfg.audio_drop_prob
+            drop_text = jax.random.uniform(k_drop_t, ()) < cfg.cond_drop_prob
+            drop_audio = drop_audio | drop_text
+            if x0 is None:
+                x0 = jax.random.normal(k_noise, x1.shape, dtype=x1.dtype)
+        else:
+            mid = (lo + hi) / 2
+            span_len = (mid * lens).astype(jnp.int32)
+            start = jnp.clip((lens - span_len) // 2, 0, None)
+            pos = jnp.arange(seq_len)[None, :]
+            span = (pos >= start[:, None]) & (pos < (start + span_len)[:, None]) & mask
+            t = jnp.full((batch,), 0.5, dtype=x1.dtype)
+            drop_audio = jnp.asarray(False)
+            drop_text = jnp.asarray(False)
+            if x0 is None:
+                x0 = jax.random.normal(
+                    jax.random.PRNGKey(0), x1.shape, dtype=x1.dtype
+                )
+
+        cond = jnp.where(span[..., None], 0.0, x1)
+        tb = t[:, None, None]
+        phi = (1 - tb) * x0 + tb * x1
+        flow = x1 - x0
+
+        pred = self.backbone.apply(
+            variables,
+            phi,
+            cond,
+            text_ids,
+            t,
+            mask=mask,
+            drop_audio_cond=drop_audio,
+            drop_text=drop_text,
+            deterministic=not train,
+            rngs={"dropout": k_dropout} if train else {},
+        )
+
+        se = jnp.square(pred - flow)
+        weight = span[..., None].astype(se.dtype)
+        # mean over masked *elements* (span frames × mel bins), flow.py:155-158
+        denom = jnp.sum(weight) * se.shape[-1]
+        return jnp.sum(se * weight) / jnp.maximum(denom, 1.0)
+
+    # ── inference ─────────────────────────────────────────────────────────
+
+    def sample(
+        self,
+        variables: Any,
+        cond: jnp.ndarray,
+        text_ids: jnp.ndarray,
+        duration: jnp.ndarray,
+        lens: jnp.ndarray,
+        steps: int = 32,
+        cfg_strength: float = 1.0,
+        sway_sampling_coef: float | None = None,
+        seed: int | jax.Array | None = None,
+        noise: jnp.ndarray | None = None,
+        return_trajectory: bool = False,
+    ) -> tuple[jnp.ndarray, jnp.ndarray | None]:
+        """Euler-ODE generation.
+
+        Args:
+            cond: conditioning mel, zero-padded to the full length [B, T, M].
+            text_ids: [B, T] stretched token ids.
+            duration: [B] total lengths (cond length T must be >= max).
+            lens: [B] reference-audio lengths (frames [0:lens[i]] conditioning).
+            noise: optional [B, T, M] initial noise (parity tests / seeding).
+
+        Returns:
+            (mel [B, T, M], trajectory [steps+1, B, T, M] or None)
+        """
+        batch, max_dur, n_mels = cond.shape
+        duration = duration.astype(jnp.int32)
+        lens = lens.astype(jnp.int32)
+
+        cond_mask = lens_to_mask(lens, max_dur)[..., None]
+        step_cond = jnp.where(cond_mask, cond, 0.0)
+        attn_mask = lens_to_mask(duration, max_dur)
+
+        if noise is None:
+            if seed is None:
+                key = jax.random.PRNGKey(0)
+            elif isinstance(seed, int):
+                key = jax.random.PRNGKey(seed)
+            else:
+                key = seed
+            noise = jax.random.normal(key, (batch, max_dur, n_mels), dtype=cond.dtype)
+        # padding region starts at zero like the reference's pad_sequence
+        y0 = jnp.where(attn_mask[..., None], noise, 0.0)
+
+        te_cond = self.backbone.apply(
+            variables, text_ids, max_dur, False, method="embed_text"
+        )
+        te_uncond = self.backbone.apply(
+            variables, text_ids, max_dur, True, method="embed_text"
+        )
+
+        t_grid = sway_timesteps(steps, sway_sampling_coef, dtype=cond.dtype)
+        use_cfg = cfg_strength >= 1e-5
+
+        def velocity(x: jnp.ndarray, t_val: jnp.ndarray) -> jnp.ndarray:
+            t_b = jnp.broadcast_to(t_val, (batch,))
+            if not use_cfg:
+                return self.backbone.apply(
+                    variables, x, step_cond, text_ids, t_b,
+                    mask=attn_mask, text_embed=te_cond,
+                )
+            pred, null = self.backbone.apply(
+                variables, x, step_cond, te_cond, te_uncond, t_b, attn_mask,
+                method="forward_cfg",
+            )
+            return pred + (pred - null) * cfg_strength
+
+        def euler_step(x: jnp.ndarray, i: jnp.ndarray):
+            dt = t_grid[i + 1] - t_grid[i]
+            v = velocity(x, t_grid[i])
+            x_next = x + v * dt
+            return x_next, (x_next if return_trajectory else None)
+
+        x_final, traj = jax.lax.scan(
+            euler_step, y0, jnp.arange(steps), unroll=1
+        )
+        out = jnp.where(cond_mask, cond, x_final)
+        if return_trajectory:
+            trajectory = jnp.concatenate([y0[None], traj], axis=0)
+        else:
+            trajectory = None
+        return out, trajectory
+
+
+def make_sample_fn(
+    cfm: CFM,
+    steps: int,
+    cfg_strength: float,
+    sway_sampling_coef: float | None,
+):
+    """jit-compiled sampler closed over static solver settings."""
+
+    @partial(jax.jit, static_argnames=())
+    def fn(variables, cond, text_ids, duration, lens, noise):
+        out, _ = cfm.sample(
+            variables,
+            cond,
+            text_ids,
+            duration,
+            lens,
+            steps=steps,
+            cfg_strength=cfg_strength,
+            sway_sampling_coef=sway_sampling_coef,
+            noise=noise,
+        )
+        return out
+
+    return fn
