@@ -1,0 +1,415 @@
+"""F5TTS facade: text → waveform with voice cloning and long-text chunking.
+
+API parity with reference /root/reference/src/models/f5tts.py: synthesize()
+validates inputs, splits long text at punctuation/word boundaries
+(≤ max_chars_per_chunk, floor 0.55·max), estimates duration (explicit →
+ref-ratio → chars·13/speed with a 50-frame floor), stretches token ids to the
+mel length, runs the CFG Euler sampler, and vocodes. TPU-first differences:
+static-shape bucketing (sequence lengths padded to a multiple of
+``pad_to_multiple`` so the jitted sampler compiles once per bucket), explicit
+seeds via JAX PRNG keys, and a Griffin-Lim fallback when no trained vocoder
+checkpoint is available.
+"""
+
+from __future__ import annotations
+
+import logging
+import re
+from pathlib import Path
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from oron_tts_tpu.config import F5Config
+from oron_tts_tpu.models.cfm import CFM, CFMConfig
+from oron_tts_tpu.models.dit import DiT
+from oron_tts_tpu.ops.audio import AudioProcessor
+from oron_tts_tpu.text import TextCleaner, validate_language
+
+_logger = logging.getLogger(__name__)
+
+_KZ_ONLY_CHARS = frozenset("әғқңұһі")
+DEFAULT_MAX_CHARS_PER_CHUNK = 120
+DEFAULT_PAUSE_S = 0.25
+_MAJOR_BREAKS = ".!?…"
+_MINOR_BREAKS = ",;:"
+
+
+def _normalize_ws(text: str) -> str:
+    return re.sub(r"\s+", " ", text).strip()
+
+
+def _find_split_index(text: str, max_chars: int) -> int:
+    upper = min(max_chars, len(text))
+    lower = max(1, int(max_chars * 0.55))
+    for breaks in (_MAJOR_BREAKS, _MINOR_BREAKS, " "):
+        for idx in range(upper, lower, -1):
+            if text[idx - 1] in breaks:
+                return idx
+    return upper
+
+
+def split_text_for_synthesis(text: str, max_chars: int) -> list[str]:
+    """Split long text into chunks near punctuation or word boundaries."""
+    normalized = _normalize_ws(text)
+    if not normalized:
+        return []
+    if max_chars < 1:
+        return [normalized]
+    chunks: list[str] = []
+    remaining = normalized
+    while len(remaining) > max_chars:
+        cut = _find_split_index(remaining, max_chars)
+        piece = remaining[:cut].strip()
+        if piece:
+            chunks.append(piece)
+        remaining = remaining[cut:].strip()
+    if remaining:
+        chunks.append(remaining)
+    return chunks
+
+
+def concat_with_pause(
+    waveforms: list[np.ndarray], sample_rate: int, pause_s: float
+) -> np.ndarray:
+    if not waveforms:
+        return np.empty(0, dtype=np.float32)
+    pause_len = int(sample_rate * pause_s)
+    if len(waveforms) == 1 or pause_len <= 0:
+        return np.concatenate(waveforms)
+    pause = np.zeros(pause_len, dtype=waveforms[0].dtype)
+    parts: list[np.ndarray] = []
+    for i, w in enumerate(waveforms):
+        if i:
+            parts.append(pause)
+        parts.append(w)
+    return np.concatenate(parts)
+
+
+def stretch_text_to_len(token_ids: list[int], target_len: int) -> list[int]:
+    """Repeat tokens so frame i carries token int(i·n/target) (F5-TTS style)."""
+    n = len(token_ids)
+    if n == 0:
+        return [-1] * target_len
+    if n >= target_len:
+        return token_ids[:target_len]
+    return [token_ids[i * n // target_len] for i in range(target_len)]
+
+
+class F5TTS:
+    """Model bundle: DiT backbone + CFM + audio frontend + vocoder."""
+
+    def __init__(self, config: F5Config, dtype: Any = jnp.float32,
+                 use_flash: bool = False, pad_to_multiple: int = 128) -> None:
+        self.config = config
+        m, a = config.model, config.audio
+        self.n_mels = a.n_mels
+        self.sample_rate = a.sample_rate
+        self.hop_length = a.hop_length
+        self.pad_to_multiple = pad_to_multiple
+
+        self.text_cleaner = TextCleaner()
+        self.audio_processor = AudioProcessor(
+            sample_rate=a.sample_rate, n_fft=a.n_fft,
+            hop_length=a.hop_length, win_length=a.win_length, n_mels=a.n_mels,
+        )
+        self.backbone = DiT(
+            dim=m.dim, depth=m.depth, heads=m.heads, dim_head=m.dim_head,
+            ff_mult=m.ff_mult, dropout=m.p_dropout, mel_dim=a.n_mels,
+            vocab_size=m.vocab_size, text_dim=m.text_dim,
+            conv_layers=m.conv_layers,
+            gradient_checkpointing=config.gradient_checkpointing,
+            dtype=dtype, use_flash=use_flash,
+        )
+        self.cfm = CFM(
+            self.backbone,
+            CFMConfig(
+                audio_drop_prob=m.audio_drop_prob,
+                cond_drop_prob=m.cond_drop_prob,
+                frac_lengths_mask=m.frac_lengths_mask,
+                n_mels=a.n_mels,
+            ),
+        )
+        self.variables: dict[str, Any] | None = None
+        self._vocoder = None  # (module, variables) or "griffin_lim"
+        self._sample_cache: dict[tuple, Any] = {}
+
+    # ── parameters ────────────────────────────────────────────────────────
+
+    def init_params(self, rng: jax.Array | int = 0) -> dict[str, Any]:
+        if isinstance(rng, int):
+            rng = jax.random.PRNGKey(rng)
+        T = 32
+        dummy_x = jnp.zeros((1, T, self.n_mels))
+        dummy_text = jnp.zeros((1, T), dtype=jnp.int32)
+        self.variables = self.backbone.init(
+            rng, dummy_x, dummy_x, dummy_text, jnp.zeros((1,))
+        )
+        return self.variables
+
+    def num_params(self) -> int:
+        if self.variables is None:
+            return 0
+        return sum(
+            int(np.prod(x.shape)) for x in jax.tree_util.tree_leaves(self.variables)
+        )
+
+    # ── training ──────────────────────────────────────────────────────────
+
+    def forward(
+        self,
+        mel: jnp.ndarray,
+        text_ids: jnp.ndarray,
+        lens: jnp.ndarray | None = None,
+        rng: jax.Array | None = None,
+        train: bool = True,
+    ) -> jnp.ndarray:
+        """CFM loss; accepts lengths [B] or bool mask [B, T] for compat."""
+        assert self.variables is not None, "call init_params or load a checkpoint"
+        if lens is not None and lens.dtype == jnp.bool_ and lens.ndim == 2:
+            lens = lens.sum(axis=-1).astype(jnp.int32)
+        if rng is None:
+            rng = jax.random.PRNGKey(0)
+        return self.cfm.loss(self.variables, mel, text_ids, lens, rng, train=train)
+
+    # ── vocoder ───────────────────────────────────────────────────────────
+
+    def set_vocoder(self, module: Any, variables: dict[str, Any]) -> None:
+        self._vocoder = (module, variables)
+
+    def load_vocoder(self, checkpoint_path: str | Path | None = None) -> None:
+        """Load a Vocos checkpoint (native .npz or official torch format)."""
+        from oron_tts_tpu.models.vocos import VocosDecoder, convert_vocos_state_dict
+
+        if checkpoint_path is None:
+            import os
+
+            checkpoint_path = os.environ.get("ORON_VOCOS_CKPT")
+        if checkpoint_path is None or not Path(checkpoint_path).exists():
+            _logger.warning(
+                "No trained vocoder checkpoint found — falling back to "
+                "Griffin-Lim (intelligible but lower quality). Set "
+                "ORON_VOCOS_CKPT or pass checkpoint_path for Vocos decoding."
+            )
+            self._vocoder = "griffin_lim"
+            return
+        path = Path(checkpoint_path)
+        if path.suffix == ".npz":
+            from oron_tts_tpu.train.checkpoint import unflatten_tree
+
+            data = np.load(path)
+            params = unflatten_tree({k: data[k] for k in data.files})
+            head_mode = "real_imag"
+            layer_scale = any("gamma" in k for k in data.files)
+        else:
+            from oron_tts_tpu.utils.torch_compat import load_torch_checkpoint
+
+            sd = load_torch_checkpoint(str(path))
+            params = convert_vocos_state_dict(sd)
+            head_mode = "mag_phase"
+            layer_scale = any(k.endswith(".gamma") for k in sd)
+        module = VocosDecoder(
+            n_mels=self.n_mels,
+            n_fft=self.config.audio.n_fft,
+            hop_length=self.hop_length,
+            sample_rate=self.sample_rate,
+            head_mode=head_mode,
+            layer_scale=layer_scale,
+        )
+        self._vocoder = (module, {"params": params})
+
+    def _decode_mel(self, mel: jnp.ndarray) -> np.ndarray:
+        """[1, n_mels, T] log-mel → waveform [T·hop]."""
+        if self._vocoder is None:
+            self.load_vocoder()
+        if self._vocoder == "griffin_lim":
+            from oron_tts_tpu.ops.griffin_lim import griffin_lim
+
+            wav = griffin_lim(mel, self.audio_processor.mel_config, n_iter=32)
+            return np.asarray(wav[0])
+        module, variables = self._vocoder
+        return np.asarray(module.apply(variables, mel)[0])
+
+    # ── inference ─────────────────────────────────────────────────────────
+
+    @staticmethod
+    def _warn_lang_contamination(text: str, lang: str) -> None:
+        lang = validate_language(lang)
+        if lang == "mn":
+            bad = {c for c in text.lower() if c in _KZ_ONLY_CHARS}
+            if bad:
+                _logger.warning(
+                    "Mongolian input contains Kazakh-only characters %s; "
+                    "the model was conditioned with [LANG_MN] and may produce "
+                    "out-of-distribution audio.", sorted(bad),
+                )
+
+    def synthesize(
+        self,
+        text: str,
+        lang: str = "mn",
+        ref_audio_path: str | Path | None = None,
+        ref_text: str | None = None,
+        n_steps: int = 32,
+        cfg_strength: float = 2.0,
+        sway_sampling_coef: float | None = -1.0,
+        speed: float = 1.0,
+        target_duration_s: float | None = None,
+        max_chars_per_chunk: int | None = DEFAULT_MAX_CHARS_PER_CHUNK,
+        pause_s: float = DEFAULT_PAUSE_S,
+        seed: int | None = None,
+    ) -> np.ndarray:
+        """Synthesize speech; returns float32 waveform [T_samples]."""
+        lang = validate_language(lang)
+        if n_steps < 1:
+            raise ValueError(f"n_steps must be >= 1, got {n_steps}")
+        if cfg_strength < 0:
+            raise ValueError(f"cfg_strength must be >= 0, got {cfg_strength}")
+        if speed <= 0:
+            raise ValueError(f"speed must be > 0, got {speed}")
+        if target_duration_s is not None and target_duration_s <= 0:
+            raise ValueError(
+                f"target_duration_s must be > 0, got {target_duration_s}"
+            )
+        if max_chars_per_chunk is not None and max_chars_per_chunk < 0:
+            raise ValueError(
+                f"max_chars_per_chunk must be >= 0, got {max_chars_per_chunk}"
+            )
+        if pause_s < 0:
+            raise ValueError(f"pause_s must be >= 0, got {pause_s}")
+        assert self.variables is not None, "call init_params or load a checkpoint"
+
+        self._warn_lang_contamination(text, lang)
+        if ref_text:
+            self._warn_lang_contamination(ref_text, lang)
+
+        max_chars = max_chars_per_chunk or 0
+        chunks = (
+            split_text_for_synthesis(text, max_chars) if max_chars > 0
+            else [text.strip()]
+        )
+        chunks = [c for c in chunks if c]
+        if not chunks:
+            raise ValueError("text must not be empty")
+
+        if len(chunks) > 1:
+            _logger.info("Splitting long synthesis request into %d chunks", len(chunks))
+        weights = [max(1, len(c.replace(" ", ""))) for c in chunks]
+        total_weight = sum(weights)
+        waveforms: list[np.ndarray] = []
+        for idx, chunk in enumerate(chunks):
+            chunk_dur = (
+                None if target_duration_s is None
+                else target_duration_s * weights[idx] / total_weight
+                if len(chunks) > 1 else target_duration_s
+            )
+            chunk_seed = None if seed is None else seed + idx
+            waveforms.append(
+                self._synthesize_segment(
+                    chunk, lang, ref_audio_path, ref_text, n_steps,
+                    cfg_strength, sway_sampling_coef, speed, chunk_dur,
+                    chunk_seed,
+                )
+            )
+        if len(waveforms) == 1:
+            return waveforms[0]
+        return concat_with_pause(waveforms, self.sample_rate, pause_s)
+
+    def _sample_fn(self, bucket_len: int, steps: int, cfg_strength: float,
+                   sway: float | None):
+        key = (bucket_len, steps, cfg_strength, sway)
+        fn = self._sample_cache.get(key)
+        if fn is None:
+            def run(variables, cond, text_ids, duration, lens, noise):
+                out, _ = self.cfm.sample(
+                    variables, cond, text_ids, duration, lens,
+                    steps=steps, cfg_strength=cfg_strength,
+                    sway_sampling_coef=sway, noise=noise,
+                )
+                return out
+            fn = jax.jit(run)
+            self._sample_cache[key] = fn
+        return fn
+
+    def _synthesize_segment(
+        self,
+        text: str,
+        lang: str,
+        ref_audio_path: str | Path | None,
+        ref_text: str | None,
+        n_steps: int,
+        cfg_strength: float,
+        sway: float | None,
+        speed: float,
+        target_duration_s: float | None,
+        seed: int | None,
+    ) -> np.ndarray:
+        target_ids = self.text_cleaner.text_to_sequence(text, lang=lang)
+
+        ref_mel: np.ndarray | None = None
+        ref_len = 0
+        ref_ids: list[int] = []
+        if ref_audio_path is not None:
+            if not ref_text:
+                _logger.warning(
+                    "ref_audio_path was provided without ref_text; duration "
+                    "will fall back to the ref-free estimate and the reference "
+                    "region will use filler text."
+                )
+            wav, _ = self.audio_processor.load_audio(ref_audio_path)
+            wav = self.audio_processor.normalize_audio(wav)
+            ref_mel = np.asarray(self.audio_processor.mel_spectrogram(wav))
+            ref_len = ref_mel.shape[-1]
+            if ref_text is not None:
+                ref_ids = self.text_cleaner.text_to_sequence(ref_text, lang=lang)
+
+        if target_duration_s is not None:
+            target_len = max(
+                1, int(target_duration_s * self.sample_rate / self.hop_length)
+            )
+        elif ref_len > 0 and ref_ids:
+            target_len = max(
+                50, int(ref_len * len(target_ids) / len(ref_ids) / speed)
+            )
+        else:
+            chars = max(1, len(text.replace(" ", "")))
+            target_len = max(50, int(chars * 13 / speed))
+
+        t_total = ref_len + target_len
+        # static-shape bucket: pad to multiple, mask out the tail
+        bucket = -(-t_total // self.pad_to_multiple) * self.pad_to_multiple
+
+        if ref_len > 0:
+            full_ids = (
+                stretch_text_to_len(ref_ids, ref_len)
+                + stretch_text_to_len(target_ids, target_len)
+            )
+        else:
+            full_ids = stretch_text_to_len(target_ids, t_total)
+        full_ids = full_ids + [-1] * (bucket - t_total)
+        text_arr = np.asarray([full_ids], dtype=np.int32)
+
+        cond = np.zeros((1, bucket, self.n_mels), dtype=np.float32)
+        if ref_mel is not None:
+            cond[0, :ref_len] = ref_mel.T
+
+        key = jax.random.PRNGKey(0 if seed is None else seed)
+        noise = jax.random.normal(key, (1, bucket, self.n_mels), dtype=jnp.float32)
+
+        fn = self._sample_fn(bucket, n_steps, cfg_strength, sway)
+        mel_out = fn(
+            self.variables, cond, text_arr,
+            np.asarray([t_total]), np.asarray([ref_len]), noise,
+        )
+        gen = jnp.swapaxes(mel_out[:, ref_len:t_total, :], 1, 2)  # [1, M, T]
+        return self._decode_mel(gen).astype(np.float32)
+
+    # ── construction ──────────────────────────────────────────────────────
+
+    @classmethod
+    def from_config(cls, config: dict[str, Any] | F5Config, **kwargs: Any) -> "F5TTS":
+        if isinstance(config, dict):
+            config = F5Config.from_dict(config)
+        return cls(config, **kwargs)

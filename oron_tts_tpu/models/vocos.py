@@ -1,0 +1,138 @@
+"""Vocos-style ISTFT vocoder (mel → waveform) in flax.
+
+Two head modes:
+- ``"real_imag"``: the reference's from-scratch decoder
+  (/root/reference/src/models/decoder.py:27-103) — Linear head predicts
+  real/imag STFT coefficients, normalized ISTFT.
+- ``"mag_phase"``: the official pretrained Vocos (charactr/vocos-mel-24khz)
+  head — Linear predicts log-magnitude ‖ phase, x = exp(m)·e^{iφ} with
+  magnitude clipping, non-normalized ISTFT. ``layer_scale=True`` adds the
+  per-block gamma the official checkpoint carries, so its weights port
+  directly via convert_vocos_state_dict.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Mapping
+
+import flax.linen as nn
+import jax.numpy as jnp
+import numpy as np
+
+from oron_tts_tpu.ops.stft import istft
+
+
+class VocosConvNeXtBlock(nn.Module):
+    dim: int
+    intermediate_dim: int
+    layer_scale: bool = False
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        residual = x
+        x = nn.Conv(
+            self.dim, kernel_size=(7,), padding="SAME",
+            feature_group_count=self.dim, dtype=self.dtype, name="dwconv",
+        )(x)
+        x = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm")(x)
+        x = nn.Dense(self.intermediate_dim, dtype=self.dtype, name="pwconv1")(x)
+        x = nn.gelu(x, approximate=False)
+        x = nn.Dense(self.dim, dtype=self.dtype, name="pwconv2")(x)
+        if self.layer_scale:
+            gamma = self.param(
+                "gamma", nn.initializers.constant(1e-6), (self.dim,)
+            )
+            x = x * gamma.astype(x.dtype)
+        return residual + x
+
+
+class VocosDecoder(nn.Module):
+    """mel [B, n_mels, T] → waveform [B, T*hop_length]."""
+
+    n_mels: int = 100
+    dim: int = 512
+    n_layers: int = 8
+    intermediate_dim: int = 1536
+    n_fft: int = 1024
+    hop_length: int = 256
+    sample_rate: int = 24000
+    head_mode: str = "real_imag"  # or "mag_phase"
+    layer_scale: bool = False
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, mel: jnp.ndarray) -> jnp.ndarray:
+        x = mel.swapaxes(-1, -2)  # [B, T, n_mels]
+        x = nn.Conv(
+            self.dim, kernel_size=(7,), padding="SAME", dtype=self.dtype,
+            name="embed",
+        )(x)
+        x = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm_pre")(x)
+        for i in range(self.n_layers):
+            x = VocosConvNeXtBlock(
+                self.dim, self.intermediate_dim,
+                layer_scale=self.layer_scale, dtype=self.dtype, name=f"block{i}",
+            )(x)
+        x = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm_post")(x)
+
+        n_bins = self.n_fft // 2 + 1
+        out = nn.Dense(n_bins * 2, dtype=self.dtype, name="head")(x)  # [B, T, 2F]
+        out = out.astype(jnp.float32)
+
+        if self.head_mode == "mag_phase":
+            mag, phase = out[..., :n_bins], out[..., n_bins:]
+            mag = jnp.exp(jnp.clip(mag, max=6.907755))  # clip at log(1e2)·... safety
+            spec = mag * (jnp.cos(phase) + 1j * jnp.sin(phase))
+            spec = spec.swapaxes(-1, -2)  # [B, F, T]
+            return istft(spec, self.n_fft, self.hop_length, normalized=False)
+        # reference stub: interleaved real/imag per bin, normalized ISTFT
+        ri = out.reshape(*out.shape[:-1], n_bins, 2)
+        spec = (ri[..., 0] + 1j * ri[..., 1]).swapaxes(-1, -2)
+        return istft(spec, self.n_fft, self.hop_length, normalized=True)
+
+
+def convert_vocos_state_dict(
+    state_dict: Mapping[str, Any], n_layers: int = 8
+) -> dict[str, Any]:
+    """Official Vocos torch checkpoint → flax params for VocosDecoder.
+
+    Expects keys like backbone.embed.weight, backbone.convnext.{i}.*,
+    head.out.weight. Use head_mode="mag_phase", layer_scale=True.
+    """
+
+    def _np(v: Any) -> np.ndarray:
+        if hasattr(v, "detach"):
+            v = v.detach().cpu().numpy()
+        return np.asarray(v)
+
+    def lin(key: str) -> dict[str, np.ndarray]:
+        return {"kernel": _np(state_dict[f"{key}.weight"]).T,
+                "bias": _np(state_dict[f"{key}.bias"])}
+
+    def conv(key: str) -> dict[str, np.ndarray]:
+        return {"kernel": _np(state_dict[f"{key}.weight"]).transpose(2, 1, 0),
+                "bias": _np(state_dict[f"{key}.bias"])}
+
+    def ln(key: str) -> dict[str, np.ndarray]:
+        return {"scale": _np(state_dict[f"{key}.weight"]),
+                "bias": _np(state_dict[f"{key}.bias"])}
+
+    params: dict[str, Any] = {
+        "embed": conv("backbone.embed"),
+        "norm_pre": ln("backbone.norm"),
+        "norm_post": ln("backbone.final_layer_norm"),
+        "head": lin("head.out"),
+    }
+    for i in range(n_layers):
+        b = f"backbone.convnext.{i}"
+        block = {
+            "dwconv": conv(f"{b}.dwconv"),
+            "norm": ln(f"{b}.norm"),
+            "pwconv1": lin(f"{b}.pwconv1"),
+            "pwconv2": lin(f"{b}.pwconv2"),
+        }
+        if f"{b}.gamma" in state_dict:
+            block["gamma"] = _np(state_dict[f"{b}.gamma"])
+        params[f"block{i}"] = block
+    return params

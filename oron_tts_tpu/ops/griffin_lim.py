@@ -1,0 +1,71 @@
+"""Griffin-Lim mel→waveform fallback (no learned weights required).
+
+Used when no trained vocoder checkpoint is available: inverts the log-mel
+via the filterbank pseudo-inverse, then recovers phase iteratively. Quality
+is below a trained Vocos but produces intelligible audio from any mel that
+honors the framework's mel contract.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from oron_tts_tpu.ops.mel import MelConfig, hann_window, mel_filterbank
+from oron_tts_tpu.ops.stft import istft
+
+
+@functools.lru_cache(maxsize=4)
+def _pinv_fb(cfg: MelConfig) -> np.ndarray:
+    # fb is [n_freqs, n_mels]; mel = fb.T @ mag, so mag ≈ pinv(fb).T @ mel
+    return np.linalg.pinv(mel_filterbank(cfg)).astype(np.float32)  # [n_mels, n_freqs]
+
+
+def mel_to_linear(log_mel: jnp.ndarray, cfg: MelConfig) -> jnp.ndarray:
+    """[..., n_mels, T] log-mel → [..., n_freqs, T] magnitude estimate."""
+    mel = jnp.exp(log_mel)
+    pinv = jnp.asarray(_pinv_fb(cfg))  # [n_mels, n_freqs]
+    mag = jnp.einsum("mf,...mt->...ft", pinv, mel)
+    return jnp.maximum(mag, 0.0)
+
+
+def _stft_complex(audio: jnp.ndarray, cfg: MelConfig) -> jnp.ndarray:
+    window = jnp.asarray(
+        np.pad(hann_window(cfg.win_length),
+               ((cfg.n_fft - cfg.win_length) // 2,) * 2)
+        if cfg.win_length != cfg.n_fft else hann_window(cfg.win_length)
+    )
+    pad = cfg.n_fft // 2
+    padded = jnp.pad(audio, [(0, 0)] * (audio.ndim - 1) + [(pad, pad)], mode="reflect")
+    n_frames = 1 + audio.shape[-1] // cfg.hop_length
+    idx = jnp.arange(n_frames)[:, None] * cfg.hop_length + jnp.arange(cfg.n_fft)[None, :]
+    frames = padded[..., idx] * window
+    return jnp.fft.rfft(frames, axis=-1).swapaxes(-1, -2)
+
+
+def griffin_lim(
+    log_mel: jnp.ndarray,
+    cfg: MelConfig,
+    n_iter: int = 32,
+    seed: int = 0,
+) -> jnp.ndarray:
+    """[..., n_mels, T] log-mel → waveform [..., T*hop]."""
+    mag = mel_to_linear(log_mel, cfg)  # [..., F, T]
+    t_frames = mag.shape[-1]
+    length = (t_frames - 1) * cfg.hop_length
+
+    key = jax.random.PRNGKey(seed)
+    phase = jax.random.uniform(key, mag.shape, minval=-np.pi, maxval=np.pi)
+    spec = mag * jnp.exp(1j * phase)
+
+    def body(_, spec):
+        wav = istft(spec, cfg.n_fft, cfg.hop_length, cfg.win_length, length=length)
+        re = _stft_complex(wav, cfg)[..., :t_frames]
+        angles = re / jnp.maximum(jnp.abs(re), 1e-8)
+        return mag * angles
+
+    spec = jax.lax.fori_loop(0, n_iter, body, spec)
+    return istft(spec, cfg.n_fft, cfg.hop_length, cfg.win_length, length=length)

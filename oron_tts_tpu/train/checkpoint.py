@@ -1,0 +1,277 @@
+"""Checkpointing with the reference's on-disk contract.
+
+Native format: a single ``.npz`` per checkpoint holding flattened pytrees
+(``params/...``, ``ema/...``, ``opt/...``) plus scalar metadata, named
+``f5tts_step_{step:08d}.npz`` with ``f5tts_best.npz`` and a ``config.json``
+sidecar — mirroring reference src/utils/checkpoint.py:62-228 (rotation of
+``max_checkpoints`` step files, best tracking, fresh-state on missing file).
+Torch ``.pt``/``.safetensors`` checkpoints from the reference are readable
+via utils.torch_compat for weight import.
+"""
+
+from __future__ import annotations
+
+import json
+import re
+from pathlib import Path
+from typing import Any, Mapping
+
+import jax
+import numpy as np
+
+_SEP = "/"
+
+
+def flatten_tree(tree: Any, prefix: str = "") -> dict[str, np.ndarray]:
+    flat: dict[str, np.ndarray] = {}
+    if isinstance(tree, Mapping):
+        for k, v in tree.items():
+            key = f"{prefix}{_SEP}{k}" if prefix else str(k)
+            flat.update(flatten_tree(v, key))
+    elif isinstance(tree, (list, tuple)):
+        for i, v in enumerate(tree):
+            key = f"{prefix}{_SEP}#{i}" if prefix else f"#{i}"
+            flat.update(flatten_tree(v, key))
+    else:
+        flat[prefix] = np.asarray(tree)
+    return flat
+
+
+def unflatten_tree(flat: Mapping[str, np.ndarray]) -> Any:
+    root: dict[str, Any] = {}
+    for key, value in flat.items():
+        parts = key.split(_SEP)
+        node = root
+        for p in parts[:-1]:
+            node = node.setdefault(p, {})
+        node[parts[-1]] = value
+
+    def resolve(node: Any) -> Any:
+        if not isinstance(node, dict):
+            return node
+        if node and all(k.startswith("#") for k in node):
+            return [resolve(node[f"#{i}"]) for i in range(len(node))]
+        return {k: resolve(v) for k, v in node.items()}
+
+    return resolve(root)
+
+
+def save_pytree_npz(path: str | Path, trees: Mapping[str, Any],
+                    meta: Mapping[str, Any] | None = None) -> None:
+    """trees: name → pytree, e.g. {"params": ..., "ema": ..., "opt": ...}."""
+    flat: dict[str, np.ndarray] = {}
+    for name, tree in trees.items():
+        if tree is None:
+            continue
+        flat.update(flatten_tree(jax.device_get(tree), name))
+    if meta:
+        flat["__meta__"] = np.frombuffer(
+            json.dumps(dict(meta)).encode(), dtype=np.uint8
+        )
+    tmp = Path(str(path) + ".tmp.npz")
+    np.savez(tmp, **flat)
+    tmp.replace(path)
+
+
+def load_pytree_npz(path: str | Path) -> tuple[dict[str, Any], dict[str, Any]]:
+    """Returns ({name: pytree}, meta)."""
+    with np.load(path) as data:
+        flat = {k: data[k] for k in data.files}
+    meta: dict[str, Any] = {}
+    raw_meta = flat.pop("__meta__", None)
+    if raw_meta is not None:
+        meta = json.loads(raw_meta.tobytes().decode())
+    groups: dict[str, dict[str, np.ndarray]] = {}
+    for key, value in flat.items():
+        name, _, rest = key.partition(_SEP)
+        groups.setdefault(name, {})[rest] = value
+    return {name: unflatten_tree(g) for name, g in groups.items()}, meta
+
+
+def _is_step_checkpoint(name: str, model_name: str) -> bool:
+    return re.fullmatch(rf"{re.escape(model_name)}_step_\d{{8}}\.npz", name) is not None
+
+
+def stale_remote_checkpoint_paths(
+    remote_paths: list[str], local_paths: list[str], model_name: str
+) -> list[str]:
+    """Remote step checkpoints no longer in the local rotation (for hub sync)."""
+    local = {
+        Path(p).name for p in local_paths if _is_step_checkpoint(Path(p).name, model_name)
+    }
+    return [
+        p for p in remote_paths
+        if _is_step_checkpoint(Path(p).name, model_name) and Path(p).name not in local
+    ]
+
+
+class CheckpointManager:
+    def __init__(
+        self,
+        checkpoint_dir: str | Path,
+        model_name: str = "f5tts",
+        max_checkpoints: int = 5,
+    ) -> None:
+        self.checkpoint_dir = Path(checkpoint_dir)
+        self.checkpoint_dir.mkdir(parents=True, exist_ok=True)
+        self.model_name = model_name
+        self.max_checkpoints = max_checkpoints
+
+    def step_path(self, step: int) -> Path:
+        return self.checkpoint_dir / f"{self.model_name}_step_{step:08d}.npz"
+
+    def best_path(self) -> Path:
+        return self.checkpoint_dir / f"{self.model_name}_best.npz"
+
+    def config_path(self) -> Path:
+        return self.checkpoint_dir / "config.json"
+
+    def save(
+        self,
+        step: int,
+        params: Any,
+        opt_state: Any = None,
+        ema_params: Any = None,
+        loss: float | None = None,
+        config: Mapping[str, Any] | None = None,
+        is_best: bool = False,
+        extra_state: Mapping[str, Any] | None = None,
+    ) -> Path:
+        meta: dict[str, Any] = {"step": step, "loss": loss}
+        if extra_state:
+            meta.update(extra_state)
+        trees = {"params": params, "opt": opt_state, "ema": ema_params}
+        path = self.step_path(step)
+        save_pytree_npz(path, trees, meta)
+        if config is not None:
+            self.config_path().write_text(json.dumps(dict(config), indent=2))
+        if is_best:
+            save_pytree_npz(self.best_path(), trees, meta)
+        self._rotate()
+        return path
+
+    def load(
+        self,
+        path: str | Path | None = None,
+        load_best: bool = False,
+    ) -> dict[str, Any]:
+        """Returns {params, opt, ema, step, loss, ...}; fresh dict if missing."""
+        if path is None:
+            path = self.best_path() if load_best else self.latest_checkpoint()
+        if path is None or not Path(path).exists():
+            return {"step": 0, "loss": None, "params": None, "ema": None, "opt": None}
+        trees, meta = load_pytree_npz(path)
+        out: dict[str, Any] = {
+            "params": trees.get("params"),
+            "opt": trees.get("opt"),
+            "ema": trees.get("ema"),
+        }
+        out.update(meta)
+        out.setdefault("step", 0)
+        return out
+
+    def load_config(self) -> dict[str, Any] | None:
+        if self.config_path().exists():
+            return json.loads(self.config_path().read_text())
+        return None
+
+    def latest_checkpoint(self) -> Path | None:
+        ckpts = sorted(
+            self.checkpoint_dir.glob(f"{self.model_name}_step_*.npz"),
+            key=lambda p: int(p.stem.rsplit("_", 1)[-1]),
+        )
+        return ckpts[-1] if ckpts else None
+
+    def _rotate(self) -> None:
+        ckpts = sorted(
+            self.checkpoint_dir.glob(f"{self.model_name}_step_*.npz"),
+            key=lambda p: int(p.stem.rsplit("_", 1)[-1]),
+        )
+        while len(ckpts) > self.max_checkpoints:
+            ckpts[0].unlink()
+            ckpts.pop(0)
+
+    # ── hub mirroring (parity with reference checkpoint.py:299-365) ──────
+
+    def push_to_hub(
+        self,
+        repo_id: str,
+        token: str | None = None,
+        private: bool = False,
+        log_dir: str | Path | None = None,
+    ) -> str:
+        from huggingface_hub import HfApi
+
+        card = self.checkpoint_dir / "README.md"
+        card.write_text(self._model_card(), encoding="utf-8")
+        api = HfApi()
+        api.create_repo(repo_id=repo_id, token=token, private=private, exist_ok=True)
+        api.upload_folder(
+            folder_path=str(self.checkpoint_dir), repo_id=repo_id, token=token
+        )
+        self._cleanup_remote(api, repo_id, token)
+        if log_dir is not None and Path(log_dir).exists():
+            if any(p.is_file() for p in Path(log_dir).rglob("*")):
+                api.upload_folder(
+                    folder_path=str(log_dir), repo_id=repo_id,
+                    path_in_repo="tb_logs", token=token,
+                )
+        return f"https://huggingface.co/{repo_id}"
+
+    def _cleanup_remote(self, api: Any, repo_id: str, token: str | None) -> None:
+        local = [p.name for p in
+                 self.checkpoint_dir.glob(f"{self.model_name}_step_*.npz")]
+        info = api.model_info(repo_id=repo_id, token=token, files_metadata=False)
+        remote = [s.rfilename for s in (info.siblings or [])]
+        stale = stale_remote_checkpoint_paths(remote, local, self.model_name)
+        if stale:
+            api.delete_files(
+                repo_id=repo_id, repo_type="model", delete_patterns=stale,
+                token=token,
+                commit_message=f"Remove {len(stale)} stale {self.model_name} checkpoints",
+            )
+
+    def pull_from_hub(
+        self, repo_id: str, filename: str = "f5tts_best.npz",
+        token: str | None = None,
+    ) -> Path:
+        from huggingface_hub import hf_hub_download
+
+        return Path(hf_hub_download(
+            repo_id=repo_id, filename=filename, token=token,
+            local_dir=str(self.checkpoint_dir),
+        ))
+
+    def _model_card(self) -> str:
+        config = self.load_config() or {}
+        m = config.get("model", {})
+        return f"""---
+language:
+  - mn
+  - kk
+license: mit
+tags:
+  - tts
+  - text-to-speech
+  - mongolian
+  - kazakh
+  - flow-matching
+  - f5-tts
+  - jax
+library_name: jax
+pipeline_tag: text-to-speech
+---
+
+# OronTTS-TPU — F5-TTS for Mongolian & Kazakh (JAX/TPU)
+
+Non-autoregressive TTS based on F5-TTS (flow matching + DiT), TPU-native.
+
+| Parameter | Value |
+|-----------|-------|
+| dim | {m.get("dim", "?")} |
+| depth | {m.get("depth", "?")} |
+| heads | {m.get("heads", "?")} |
+| vocab_size | {m.get("vocab_size", 65)} |
+| sample_rate | {config.get("sample_rate", 24000)} Hz |
+| mel_bins | {config.get("n_mels", 100)} |
+"""

@@ -47,6 +47,23 @@ def add_reference_to_path() -> None:
     ref = str(REFERENCE_ROOT)
     if ref not in sys.path:
         sys.path.insert(0, ref)
+    # stub native-audio deps absent from this image; parity tests only touch
+    # pure-Python reference functions, so the stubs are never actually called
+    for missing in ("soundfile", "librosa", "vocos", "torch_ema"):
+        if missing not in sys.modules:
+            try:
+                __import__(missing)
+            except ImportError:
+                sys.modules[missing] = types.ModuleType(missing)
+    if "torchaudio" not in sys.modules:
+        try:
+            import torchaudio  # noqa: F401
+        except ImportError:
+            ta = types.ModuleType("torchaudio")
+            ta.functional = types.ModuleType("torchaudio.functional")
+            ta.transforms = types.SimpleNamespace(MelSpectrogram=None)
+            sys.modules["torchaudio"] = ta
+            sys.modules["torchaudio.functional"] = ta.functional
     for name, sub in [
         ("src", ""),
         ("src.utils", "utils"),

@@ -1,0 +1,181 @@
+"""Facade tests: chunking parity, checkpoint roundtrip, synthesize e2e."""
+
+import numpy as np
+import pytest
+
+from oron_tts_tpu.config import F5Config, load_config
+from oron_tts_tpu.models.f5tts import (
+    F5TTS,
+    concat_with_pause,
+    split_text_for_synthesis,
+    stretch_text_to_len,
+)
+
+TINY_CFG = {
+    "sample_rate": 24000, "n_fft": 1024, "hop_length": 256, "n_mels": 100,
+    "model": {
+        "vocab_size": 65, "dim": 64, "depth": 2, "heads": 2, "ff_mult": 2,
+        "text_dim": 32, "conv_layers": 2, "p_dropout": 0.0,
+    },
+}
+
+
+def test_split_text_behavior():
+    text = "Нэг өгүүлбэр. Хоёр дахь өгүүлбэр, урт үргэлжилсэн; гурав дахь хэсэг."
+    chunks = split_text_for_synthesis(text, 30)
+    assert all(len(c) <= 30 for c in chunks)
+    assert " ".join(chunks).replace("  ", " ") == text
+    assert split_text_for_synthesis("  ", 10) == []
+    assert split_text_for_synthesis("abc", 0) == ["abc"]
+
+
+def test_split_text_parity_with_reference():
+    from tests.conftest import add_reference_to_path, reference_available
+
+    if not reference_available():
+        pytest.skip("no reference")
+    add_reference_to_path()
+    from src.models.f5tts import split_text_for_synthesis as ref_split
+
+    cases = [
+        ("Нэг. Хоёр, гурав; дөрөв тав зургаа долоо найм ес арав." * 5, 40),
+        ("үг " * 100, 25),
+        ("нэгwords  нэг хоёр гурав", 8),
+        ("а" * 300, 120),
+    ]
+    for text, mx in cases:
+        assert ref_split(text, mx) == split_text_for_synthesis(text, mx)
+
+
+def test_stretch_text_parity_with_reference():
+    from tests.conftest import add_reference_to_path, reference_available
+
+    if not reference_available():
+        pytest.skip("no reference")
+    add_reference_to_path()
+    from src.data.dataset import _stretch_text_to_len as ref_stretch
+
+    for ids, tgt in [([1, 2, 3], 10), ([], 5), (list(range(20)), 7), ([4], 1)]:
+        assert ref_stretch(ids, tgt) == stretch_text_to_len(ids, tgt)
+
+
+def test_concat_with_pause():
+    a = np.ones(10, np.float32)
+    b = np.full(5, 2.0, np.float32)
+    out = concat_with_pause([a, b], 24000, 0.001)
+    assert len(out) == 10 + 24 + 5
+    assert (out[10:34] == 0).all()
+    assert len(concat_with_pause([a], 24000, 1.0)) == 10
+    assert len(concat_with_pause([a, b], 24000, 0.0)) == 15
+
+
+def test_from_config_and_validation():
+    model = F5TTS.from_config(TINY_CFG)
+    assert model.n_mels == 100
+    model.init_params(0)
+    assert model.num_params() > 0
+    for kwargs in [
+        {"n_steps": 0}, {"cfg_strength": -1}, {"speed": 0},
+        {"target_duration_s": -2.0}, {"pause_s": -1},
+    ]:
+        with pytest.raises(ValueError):
+            model.synthesize("сайн", **kwargs)
+    with pytest.raises(ValueError):
+        model.synthesize("x", lang="en")
+    with pytest.raises(ValueError):
+        model.synthesize("   ")
+
+
+def test_synthesize_end_to_end_griffin_lim(tmp_path):
+    model = F5TTS.from_config(TINY_CFG)
+    model.init_params(0)
+    wav = model.synthesize(
+        "Сайн байна уу", n_steps=2, cfg_strength=2.0, seed=5,
+        target_duration_s=0.6,
+    )
+    assert wav.ndim == 1
+    assert np.isfinite(wav).all()
+    # 0.6 s at 24 kHz ≈ 56 frames, ISTFT returns (T-1)*hop samples
+    assert len(wav) > 0.4 * 24000
+
+    # same seed → identical output; different seed → different
+    wav2 = model.synthesize(
+        "Сайн байна уу", n_steps=2, cfg_strength=2.0, seed=5,
+        target_duration_s=0.6,
+    )
+    np.testing.assert_array_equal(wav, wav2)
+
+
+def test_synthesize_with_ref_audio(tmp_path):
+    from oron_tts_tpu.data.wav import write_wav
+
+    sr = 24000
+    t = np.arange(sr) / sr
+    ref = (0.3 * np.sin(2 * np.pi * 220 * t)).astype(np.float32)
+    ref_path = tmp_path / "ref.wav"
+    write_wav(ref_path, ref, sr)
+
+    model = F5TTS.from_config(TINY_CFG)
+    model.init_params(0)
+    wav = model.synthesize(
+        "Сайн байна уу",
+        ref_audio_path=ref_path,
+        ref_text="тийм",
+        n_steps=2,
+        seed=1,
+    )
+    assert np.isfinite(wav).all() and len(wav) > 0
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    import jax
+
+    from oron_tts_tpu.train.checkpoint import CheckpointManager
+
+    model = F5TTS.from_config(TINY_CFG)
+    variables = model.init_params(0)
+
+    cm = CheckpointManager(tmp_path, max_checkpoints=2)
+    cm.save(10, variables["params"], loss=1.5, config=TINY_CFG,
+            extra_state={"epoch": 3})
+    cm.save(20, variables["params"], is_best=True)
+    cm.save(30, variables["params"])
+    cm.save(40, variables["params"])
+    # rotation keeps 2 step files + best
+    steps = sorted(p.name for p in tmp_path.glob("f5tts_step_*.npz"))
+    assert steps == ["f5tts_step_00000030.npz", "f5tts_step_00000040.npz"]
+    assert (tmp_path / "f5tts_best.npz").exists()
+    assert cm.load_config()["model"]["dim"] == 64
+
+    info = cm.load()
+    assert info["step"] == 40
+    loaded_leaves = jax.tree_util.tree_leaves(info["params"])
+    orig_leaves = jax.tree_util.tree_leaves(variables["params"])
+    assert len(loaded_leaves) == len(orig_leaves)
+    for a, b in zip(loaded_leaves, orig_leaves):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    info10 = cm.load(path=tmp_path / "f5tts_best.npz")
+    assert info10["step"] == 20
+    # missing file → fresh state
+    fresh = CheckpointManager(tmp_path / "empty").load()
+    assert fresh["step"] == 0 and fresh["params"] is None
+
+
+def test_stale_remote_paths():
+    from oron_tts_tpu.train.checkpoint import stale_remote_checkpoint_paths
+
+    remote = ["f5tts_step_00000010.npz", "f5tts_step_00000020.npz",
+              "f5tts_best.npz", "config.json"]
+    local = ["f5tts_step_00000020.npz"]
+    assert stale_remote_checkpoint_paths(remote, local, "f5tts") == [
+        "f5tts_step_00000010.npz"
+    ]
+
+
+def test_config_files_load():
+    for name in ["local", "runpod", "colab", "test"]:
+        cfg = F5Config.from_dict(load_config(f"configs/{name}.yaml"))
+        assert cfg.audio.sample_rate == 24000
+        assert cfg.model.vocab_size == 65
+        assert cfg.model.dim % cfg.model.heads == 0
