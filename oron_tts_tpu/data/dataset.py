@@ -1,0 +1,418 @@
+"""TTS dataset, bucketed collation, and frame-budget batch sampling.
+
+Behavior parity with reference /root/reference/src/data/dataset.py, redesigned
+for XLA's static-shape world:
+- samples carry log-mel [n_mels, T] + token ids stretched to T
+- the collator pads the time axis UP TO A BUCKET (multiple of
+  ``pad_to_multiple``) and optionally pads the batch axis, so the jitted
+  train step compiles once per (B_bucket, T_bucket) instead of per shape
+- DynamicBatchSampler packs a frame budget exactly like the reference
+  (sort by length, greedy fill, epoch-seeded shuffle, nothing dropped)
+- attribute tokens ([FEMALE]/[YOUNG]/…) map from HF metadata identically
+"""
+
+from __future__ import annotations
+
+import logging
+from collections.abc import Mapping
+from pathlib import Path
+from typing import Any, Final
+
+import numpy as np
+
+from oron_tts_tpu.data import wav as wavio
+from oron_tts_tpu.ops.mel import MelConfig, log_mel_numpy
+from oron_tts_tpu.text import TextCleaner
+
+_logger = logging.getLogger(__name__)
+
+GENDER_ATTR_TOKENS: Final[dict[str, str]] = {
+    "female": "[FEMALE]", "f": "[FEMALE]", "woman": "[FEMALE]",
+    "women": "[FEMALE]", "girl": "[FEMALE]",
+    "male": "[MALE]", "m": "[MALE]", "man": "[MALE]",
+    "men": "[MALE]", "boy": "[MALE]",
+}
+
+AGE_ATTR_TOKENS: Final[dict[str, str]] = {
+    "child": "[YOUNG]", "teen": "[YOUNG]", "teens": "[YOUNG]",
+    "twenties": "[YOUNG]", "20s": "[YOUNG]", "young": "[YOUNG]",
+    "adult": "[MIDDLE]", "thirties": "[MIDDLE]", "forties": "[MIDDLE]",
+    "fourties": "[MIDDLE]", "fifties": "[MIDDLE]", "30s": "[MIDDLE]",
+    "40s": "[MIDDLE]", "50s": "[MIDDLE]", "middle": "[MIDDLE]",
+    "sixties": "[ELDERLY]", "seventies": "[ELDERLY]", "eighties": "[ELDERLY]",
+    "nineties": "[ELDERLY]", "60s": "[ELDERLY]", "70s": "[ELDERLY]",
+    "80s": "[ELDERLY]", "90s": "[ELDERLY]", "elderly": "[ELDERLY]",
+    "senior": "[ELDERLY]",
+}
+
+_NULLISH: Final[frozenset[str]] = frozenset({"none", "null", "nan", "other", "unknown"})
+
+
+def _normalize_meta(value: Any) -> str:
+    return str(value).strip().lower().replace("-", "_").replace(" ", "_")
+
+
+def _lookup_attr(value: Any, mapping: Mapping[str, str]) -> str | None:
+    if value is None:
+        return None
+    norm = _normalize_meta(value)
+    if not norm or norm in _NULLISH:
+        return None
+    return mapping.get(norm)
+
+
+def attr_tokens_from_metadata(
+    item: Mapping[str, Any],
+    gender_column: str | None = None,
+    age_column: str | None = None,
+) -> list[str]:
+    tokens: list[str] = []
+    if gender_column and gender_column in item:
+        tok = _lookup_attr(item[gender_column], GENDER_ATTR_TOKENS)
+        if tok:
+            tokens.append(tok)
+    if age_column and age_column in item:
+        tok = _lookup_attr(item[age_column], AGE_ATTR_TOKENS)
+        if tok:
+            tokens.append(tok)
+    return tokens
+
+
+def stretch_text_to_len(token_ids: list[int], target_len: int) -> list[int]:
+    n = len(token_ids)
+    if n == 0:
+        return [-1] * target_len
+    if n >= target_len:
+        return token_ids[:target_len]
+    return [token_ids[i * n // target_len] for i in range(target_len)]
+
+
+class TTSDataset:
+    """Storage modes: file paths, in-memory float arrays, or raw encoded bytes."""
+
+    def __init__(
+        self,
+        audio_paths: list[Path] | list[str] | None = None,
+        texts: list[str] | None = None,
+        langs: list[str] | None = None,
+        sample_rate: int = 24000,
+        n_mels: int = 100,
+        min_duration_s: float = 1.0,
+        max_duration_s: float = 30.0,
+        audio_arrays: list[np.ndarray] | None = None,
+        audio_bytes_list: list[bytes] | None = None,
+        attr_tokens_list: list[list[str]] | None = None,
+    ) -> None:
+        if audio_paths is not None:
+            self.audio_paths: list[Path] | None = [Path(p) for p in audio_paths]
+            self.audio_arrays = None
+            self.audio_bytes_list = None
+            self._len = len(audio_paths)
+        elif audio_bytes_list is not None:
+            self.audio_paths = None
+            self.audio_arrays = None
+            self.audio_bytes_list = audio_bytes_list
+            self._len = len(audio_bytes_list)
+        elif audio_arrays is not None:
+            self.audio_paths = None
+            self.audio_arrays = audio_arrays
+            self.audio_bytes_list = None
+            self._len = len(audio_arrays)
+        else:
+            raise ValueError(
+                "Must provide audio_paths, audio_arrays, or audio_bytes_list"
+            )
+        if texts is None:
+            raise ValueError("texts must be provided")
+        if self._len != len(texts):
+            raise ValueError("Audio and text lengths must match")
+        if attr_tokens_list is not None and self._len != len(attr_tokens_list):
+            raise ValueError("attr_tokens_list length must match audio/text length")
+
+        self.texts = texts
+        self.langs = langs or ["mn"] * self._len
+        self.attr_tokens_list = attr_tokens_list or [[] for _ in range(self._len)]
+        self.sample_rate = sample_rate
+        self.n_mels = n_mels
+        self.min_duration_s = min_duration_s
+        self.max_duration_s = max_duration_s
+        self.min_audio_len = int(min_duration_s * sample_rate)
+        self.mel_config = MelConfig(sample_rate=sample_rate, n_mels=n_mels)
+        self.text_cleaner = TextCleaner()
+        self.durations: list[float] = []
+
+    def __len__(self) -> int:
+        return self._len
+
+    def _load_audio(self, idx: int) -> np.ndarray:
+        if self.audio_bytes_list is not None:
+            return wavio.decode_audio_bytes(
+                self.audio_bytes_list[idx], self.sample_rate
+            )
+        if self.audio_arrays is not None:
+            return np.asarray(self.audio_arrays[idx], dtype=np.float32)
+        assert self.audio_paths is not None
+        samples, sr = wavio.read_wav(self.audio_paths[idx])
+        if samples.ndim > 1:
+            samples = samples.mean(axis=1)
+        if sr != self.sample_rate:
+            samples = wavio.resample(samples, sr, self.sample_rate)
+        return samples.astype(np.float32)
+
+    def __getitem__(self, idx: int) -> dict[str, Any]:
+        text = self.texts[idx]
+        lang = self.langs[idx]
+        audio = wavio.normalize_peak(self._load_audio(idx))
+
+        if not np.isfinite(audio).all():
+            raise ValueError(f"Invalid audio values at sample {idx}")
+        if len(audio) < self.min_audio_len:
+            raise ValueError(
+                f"Audio too short at sample {idx}: "
+                f"{len(audio) / self.sample_rate:.2f}s < {self.min_duration_s:.2f}s"
+            )
+
+        mel = log_mel_numpy(audio, self.mel_config)  # [n_mels, T]
+        T = mel.shape[-1]
+        raw_ids = self.text_cleaner.text_to_sequence(
+            text, lang=lang, attr_tokens=self.attr_tokens_list[idx]
+        )
+        text_ids = np.asarray(stretch_text_to_len(raw_ids, T), dtype=np.int32)
+        return {
+            "mel": mel,
+            "text_ids": text_ids,
+            "mask": np.ones(T, dtype=bool),
+            "lang": lang,
+            "text": text,
+        }
+
+    @classmethod
+    def from_hf_dataset(
+        cls,
+        hf_dataset: Any,
+        audio_column: str = "audio",
+        text_column: str | None = None,
+        lang_column: str | None = None,
+        gender_column: str | None = None,
+        age_column: str | None = None,
+        sample_rate: int = 24000,
+        n_mels: int = 100,
+        default_lang: str = "mn",
+        min_duration_s: float = 1.0,
+        max_duration_s: float = 30.0,
+    ) -> "TTSDataset":
+        """Ingest an HF dataset keeping raw bytes; filter by duration 1–30 s."""
+        from datasets import Audio
+
+        hf_dataset = hf_dataset.cast_column(audio_column, Audio(decode=False))
+
+        if text_column is None:
+            for c in ["sentence_norm", "text", "sentence", "transcript",
+                      "transcription"]:
+                if c in hf_dataset.column_names:
+                    text_column = c
+                    break
+            if text_column is None:
+                raise ValueError(
+                    f"No text column found. Available: {hf_dataset.column_names}"
+                )
+        _logger.info("Using text column: %s", text_column)
+
+        audio_bytes_list: list[bytes] = []
+        texts: list[str] = []
+        langs: list[str] = []
+        attrs: list[list[str]] = []
+        durations: list[float] = []
+        skipped = {"short": 0, "long": 0, "empty": 0, "no_audio": 0}
+
+        for item in hf_dataset:
+            info = item[audio_column]
+            raw: bytes | None = info.get("bytes") if isinstance(info, dict) else None
+            if not raw:
+                path = info.get("path") if isinstance(info, dict) else None
+                if path and Path(path).exists():
+                    raw = Path(path).read_bytes()
+            if not raw:
+                skipped["no_audio"] += 1
+                continue
+            try:
+                dur, _ = wavio.wav_info_bytes(raw)
+            except ValueError:
+                # non-wav container: decode to measure (ffmpeg), skip on failure
+                try:
+                    decoded = wavio.decode_audio_bytes(raw, sample_rate)
+                    dur = len(decoded) / sample_rate
+                except Exception:
+                    skipped["no_audio"] += 1
+                    continue
+
+            text_val = item[text_column]
+            if not text_val or not str(text_val).strip():
+                skipped["empty"] += 1
+                continue
+            if dur < min_duration_s:
+                skipped["short"] += 1
+                continue
+            if dur > max_duration_s:
+                skipped["long"] += 1
+                continue
+
+            audio_bytes_list.append(raw)
+            texts.append(text_val)
+            durations.append(dur)
+            langs.append(
+                item[lang_column] if lang_column and lang_column in item
+                else default_lang
+            )
+            attrs.append(
+                attr_tokens_from_metadata(
+                    item, gender_column=gender_column, age_column=age_column
+                )
+            )
+
+        total_skipped = sum(skipped.values())
+        if total_skipped:
+            _logger.warning(
+                "Filtered %d samples (short=%d, long=%d, empty_text=%d, "
+                "no_audio=%d). Kept %d.",
+                total_skipped, skipped["short"], skipped["long"],
+                skipped["empty"], skipped["no_audio"], len(audio_bytes_list),
+            )
+        if not audio_bytes_list:
+            raise RuntimeError(
+                "No valid samples after filtering. Check "
+                f"min_duration_s={min_duration_s}, max_duration_s={max_duration_s}."
+            )
+
+        ds = cls(
+            audio_bytes_list=audio_bytes_list,
+            texts=texts,
+            langs=langs,
+            sample_rate=sample_rate,
+            n_mels=n_mels,
+            min_duration_s=min_duration_s,
+            max_duration_s=max_duration_s,
+            attr_tokens_list=attrs,
+        )
+        ds.durations = durations
+        return ds
+
+
+def round_up(x: int, multiple: int) -> int:
+    return -(-x // multiple) * multiple
+
+
+class TTSCollator:
+    """Pads a batch to bucketed [B_pad, n_mels, T_bucket] numpy arrays.
+
+    Text ids pad with -1 (→ filler 0 after the +1 shift); batch-axis padding
+    rows carry mel_length 0 so they contribute nothing to the masked loss.
+    """
+
+    def __init__(self, pad_to_multiple: int = 64, pad_batch_to: int | None = None):
+        self.pad_to_multiple = pad_to_multiple
+        self.pad_batch_to = pad_batch_to
+
+    def __call__(self, batch: list[dict[str, Any]]) -> dict[str, np.ndarray]:
+        n = len(batch)
+        n_pad = self.pad_batch_to or n
+        if n_pad < n:
+            raise ValueError("pad_batch_to smaller than batch")
+        lengths = np.asarray([b["mel"].shape[-1] for b in batch], dtype=np.int32)
+        t_bucket = round_up(int(lengths.max()), self.pad_to_multiple)
+        n_mels = batch[0]["mel"].shape[0]
+
+        mels = np.zeros((n_pad, n_mels, t_bucket), dtype=np.float32)
+        text_ids = np.full((n_pad, t_bucket), -1, dtype=np.int32)
+        masks = np.zeros((n_pad, t_bucket), dtype=bool)
+        mel_lengths = np.zeros(n_pad, dtype=np.int32)
+        for i, item in enumerate(batch):
+            T = item["mel"].shape[-1]
+            mels[i, :, :T] = item["mel"]
+            text_ids[i, :T] = item["text_ids"]
+            masks[i, :T] = item["mask"]
+            mel_lengths[i] = T
+        return {
+            "mel": mels,
+            "text_ids": text_ids,
+            "mask": masks,
+            "mel_lengths": mel_lengths,
+        }
+
+
+class DynamicBatchSampler:
+    """Frame-budget batching: sort by length, greedy pack, epoch-seeded shuffle."""
+
+    def __init__(
+        self,
+        durations: list[float],
+        frames_threshold: int,
+        max_samples: int = 0,
+        sample_rate: int = 24000,
+        hop_length: int = 256,
+        drop_last: bool = False,
+    ) -> None:
+        self.frames_threshold = frames_threshold
+        self.epoch = 0
+        frame_lens = [d * sample_rate / hop_length for d in durations]
+        order = sorted(range(len(frame_lens)), key=lambda i: frame_lens[i])
+
+        batches: list[list[int]] = []
+        batch: list[int] = []
+        acc = 0.0
+        for idx in order:
+            flen = frame_lens[idx]
+            fits = (acc + flen <= frames_threshold) and (
+                max_samples == 0 or len(batch) < max_samples
+            )
+            if fits:
+                batch.append(idx)
+                acc += flen
+            else:
+                if batch:
+                    batches.append(batch)
+                batch = [idx]
+                acc = flen
+        if batch and not drop_last:
+            batches.append(batch)
+        self.batches = batches
+
+    def set_epoch(self, epoch: int) -> None:
+        self.epoch = epoch
+
+    def __iter__(self):
+        rng = np.random.default_rng(self.epoch)
+        for i in rng.permutation(len(self.batches)):
+            yield self.batches[int(i)]
+
+    def __len__(self) -> int:
+        return len(self.batches)
+
+
+class FixedBatchSampler:
+    """Plain shuffled fixed-size batches (epoch-seeded), optional drop_last."""
+
+    def __init__(self, n: int, batch_size: int, shuffle: bool = True,
+                 drop_last: bool = True, seed: int = 0):
+        self.n = n
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.drop_last = drop_last
+        self.seed = seed
+        self.epoch = 0
+
+    def set_epoch(self, epoch: int) -> None:
+        self.epoch = epoch
+
+    def __iter__(self):
+        idx = np.arange(self.n)
+        if self.shuffle:
+            idx = np.random.default_rng(self.seed + self.epoch).permutation(idx)
+        stop = (self.n // self.batch_size) * self.batch_size if self.drop_last else self.n
+        for i in range(0, stop, self.batch_size):
+            yield [int(j) for j in idx[i: i + self.batch_size]]
+
+    def __len__(self) -> int:
+        if self.drop_last:
+            return self.n // self.batch_size
+        return -(-self.n // self.batch_size)

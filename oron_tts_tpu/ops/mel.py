@@ -120,3 +120,23 @@ def log_mel_spectrogram(audio: jnp.ndarray, cfg: MelConfig) -> jnp.ndarray:
 @functools.partial(jax.jit, static_argnums=(1,))
 def log_mel_spectrogram_jit(audio: jnp.ndarray, cfg: MelConfig) -> jnp.ndarray:
     return log_mel_spectrogram(audio, cfg)
+
+
+def log_mel_numpy(audio: np.ndarray, cfg: MelConfig) -> np.ndarray:
+    """Host-side (numpy) log-mel, bit-comparable with the JAX path.
+
+    Used by dataloader workers so feature extraction overlaps TPU compute
+    without staging raw audio through the device.
+    """
+    window, fb = _constants(cfg)
+    audio = np.asarray(audio, dtype=np.float32)
+    pad = cfg.n_fft // 2
+    padded = np.pad(audio, [(0, 0)] * (audio.ndim - 1) + [(pad, pad)], mode="reflect")
+    n_frames = 1 + audio.shape[-1] // cfg.hop_length
+    idx = (
+        np.arange(n_frames)[:, None] * cfg.hop_length + np.arange(cfg.n_fft)[None, :]
+    )
+    frames = padded[..., idx] * window
+    mag = np.abs(np.fft.rfft(frames, axis=-1)).swapaxes(-1, -2)
+    mel = np.einsum("...ft,fm->...mt", mag, fb)
+    return np.log(np.clip(mel, cfg.log_clip, None)).astype(np.float32)

@@ -1,0 +1,96 @@
+"""Device mesh + sharding rules (the NCCL/DDP replacement, TPU-native).
+
+Parallelism is expressed as a 2-D ``("data", "model")`` mesh with
+NamedShardings; XLA GSPMD inserts the collectives (grad psum over ICI for
+data parallelism, all-gather/reduce-scatter for tensor parallelism). The
+reference's single strategy was single-node DDP (train.py:48-56); here DP is
+``n_model=1`` and TP shards the attention/FFN projections across ``model``.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Any
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+# (path regex, PartitionSpec) — first match wins; kernel axis layout is
+# flax Dense [in, out] / Conv [k, in, out]
+_PARAM_RULES: list[tuple[str, P]] = [
+    # attention QKV: shard heads (output features) over "model"
+    (r"attn/to_[qkv]/kernel$", P(None, "model")),
+    (r"attn/to_[qkv]/bias$", P("model")),
+    # attention output proj: shard the contracting axis → psum at output
+    (r"attn/to_out/kernel$", P("model", None)),
+    # FFN: column-parallel in, row-parallel out (Megatron layout)
+    (r"ff/in_proj/kernel$", P(None, "model")),
+    (r"ff/in_proj/bias$", P("model")),
+    (r"ff/out_proj/kernel$", P("model", None)),
+]
+
+
+def make_mesh(
+    n_data: int | None = None,
+    n_model: int = 1,
+    devices: list[Any] | None = None,
+) -> Mesh:
+    devices = devices if devices is not None else jax.devices()
+    n_total = len(devices)
+    if n_data is None:
+        n_data = n_total // n_model
+    if n_data * n_model != n_total:
+        raise ValueError(
+            f"mesh {n_data}x{n_model} does not cover {n_total} devices"
+        )
+    grid = np.asarray(devices).reshape(n_data, n_model)
+    return Mesh(grid, axis_names=("data", "model"))
+
+
+def _spec_for_path(path: str) -> P:
+    for pattern, spec in _PARAM_RULES:
+        if re.search(pattern, path):
+            return spec
+    return P()
+
+
+def param_specs(params: Any) -> Any:
+    """PartitionSpec pytree matching ``params`` (DiT naming)."""
+    flat = jax.tree_util.tree_flatten_with_path(params)
+    specs = {}
+    for keypath, _ in flat[0]:
+        path = "/".join(
+            k.key if hasattr(k, "key") else str(k) for k in keypath
+        )
+        specs[path] = _spec_for_path(path)
+
+    def assign(keypath, _leaf):
+        path = "/".join(k.key if hasattr(k, "key") else str(k) for k in keypath)
+        return specs[path]
+
+    return jax.tree_util.tree_map_with_path(assign, params)
+
+
+def param_shardings(mesh: Mesh, params: Any) -> Any:
+    return jax.tree_util.tree_map(
+        lambda s: NamedSharding(mesh, s), param_specs(params)
+    )
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Shard the leading (batch) axis over the data axis."""
+    return NamedSharding(mesh, P("data"))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_params(mesh: Mesh, params: Any) -> Any:
+    return jax.device_put(params, param_shardings(mesh, params))
+
+
+def shard_batch(mesh: Mesh, batch: dict[str, Any]) -> dict[str, Any]:
+    sharding = batch_sharding(mesh)
+    return {k: jax.device_put(v, sharding) for k, v in batch.items()}

@@ -50,7 +50,11 @@ def unflatten_tree(flat: Mapping[str, np.ndarray]) -> Any:
         if not isinstance(node, dict):
             return node
         if node and all(k.startswith("#") for k in node):
-            return [resolve(node[f"#{i}"]) for i in range(len(node))]
+            # indices may be sparse: leafless subtrees (e.g. optax EmptyState)
+            # contribute no entries; consumers rebuild exact structure via
+            # tree_unflatten over the leaf sequence
+            items = sorted(node.items(), key=lambda kv: int(kv[0][1:]))
+            return [resolve(v) for _, v in items]
         return {k: resolve(v) for k, v in node.items()}
 
     return resolve(root)

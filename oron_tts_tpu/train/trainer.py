@@ -1,0 +1,607 @@
+"""F5 trainer: optax AdamW + warmup-cosine, pytree EMA, non-finite guards.
+
+Behavior parity with reference /root/reference/src/training/trainer.py:
+single-optimizer AdamW(wd=0.01) with LinearLR warmup (start factor 1e-4) into
+cosine annealing (eta_min 1e-6), EMA decay 0.9999 with torch_ema's
+num-updates ramp, gradient clipping, skip-batch guards on non-finite
+mel/loss/grad-norm, validation under EMA weights each epoch, best-val
+checkpoint tracking, TensorBoard scalars with the reference's names, audio
+diagnostics every ``audio_sample_interval`` epochs, rotating checkpoints and
+optional HF-hub mirroring.
+
+TPU-native: the whole optimizer step is one jitted+donated function; data
+parallelism and tensor parallelism come from NamedShardings over a
+("data", "model") mesh — XLA inserts the gradient psum that DDP/NCCL did in
+the reference. bf16 compute needs no GradScaler.
+"""
+
+from __future__ import annotations
+
+import logging
+import math
+import sys
+import time
+from pathlib import Path
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from flax import struct
+
+from oron_tts_tpu.models.f5tts import F5TTS
+from oron_tts_tpu.train.checkpoint import CheckpointManager
+
+
+class TrainState(struct.PyTreeNode):
+    params: Any
+    opt_state: Any
+    ema_params: Any
+    step: jnp.ndarray  # int32 scalar
+    ema_updates: jnp.ndarray  # int32 scalar
+
+
+def make_lr_schedule(
+    lr: float, warmup_steps: int, total_steps: int, eta_min: float = 1e-6,
+    start_factor: float = 1e-4,
+) -> optax.Schedule:
+    warmup = optax.linear_schedule(
+        init_value=lr * start_factor, end_value=lr, transition_steps=warmup_steps
+    )
+    cosine = optax.cosine_decay_schedule(
+        init_value=lr,
+        decay_steps=max(total_steps - warmup_steps, 1),
+        alpha=eta_min / lr,
+    )
+    return optax.join_schedules([warmup, cosine], boundaries=[warmup_steps])
+
+
+def make_optimizer(
+    schedule: optax.Schedule,
+    betas: tuple[float, float] = (0.9, 0.999),
+    weight_decay: float = 0.01,
+    max_grad_norm: float = 1.0,
+) -> optax.GradientTransformation:
+    return optax.chain(
+        optax.clip_by_global_norm(max_grad_norm),
+        optax.adamw(schedule, b1=betas[0], b2=betas[1], weight_decay=weight_decay),
+    )
+
+
+def _global_norm(tree: Any) -> jnp.ndarray:
+    return optax.global_norm(tree)
+
+
+def make_train_step(cfm: Any, tx: optax.GradientTransformation, ema_decay: float):
+    """Fused loss+grad+update+EMA step with non-finite skip guard."""
+
+    def step_fn(state: TrainState, batch: dict[str, jnp.ndarray], rng: jax.Array):
+        def loss_fn(params):
+            return cfm.loss(
+                {"params": params},
+                batch["mel"],
+                batch["text_ids"],
+                batch["mel_lengths"],
+                rng,
+                train=True,
+            )
+
+        loss, grads = jax.value_and_grad(loss_fn)(state.params)
+        grad_norm = _global_norm(grads)
+        ok = jnp.isfinite(loss) & jnp.isfinite(grad_norm)
+
+        safe_grads = jax.tree_util.tree_map(
+            lambda g: jnp.where(ok, g, jnp.zeros_like(g)), grads
+        )
+        updates, new_opt = tx.update(safe_grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+
+        n = state.ema_updates + 1
+        decay = jnp.minimum(ema_decay, (1.0 + n) / (10.0 + n))
+        new_ema = jax.tree_util.tree_map(
+            lambda e, p: decay * e + (1.0 - decay) * p, state.ema_params, new_params
+        )
+
+        def pick(new, old):
+            return jax.tree_util.tree_map(
+                lambda a, b: jnp.where(ok, a, b), new, old
+            )
+
+        new_state = TrainState(
+            params=pick(new_params, state.params),
+            opt_state=pick(new_opt, state.opt_state),
+            ema_params=pick(new_ema, state.ema_params),
+            step=state.step + jnp.where(ok, 1, 0),
+            ema_updates=state.ema_updates + jnp.where(ok, 1, 0),
+        )
+        metrics = {"loss": loss, "grad_norm": grad_norm, "ok": ok}
+        return new_state, metrics
+
+    return jax.jit(step_fn, donate_argnums=(0,))
+
+
+def make_eval_step(cfm: Any):
+    def eval_fn(params: Any, batch: dict[str, jnp.ndarray]):
+        return cfm.loss(
+            {"params": params},
+            batch["mel"],
+            batch["text_ids"],
+            batch["mel_lengths"],
+            jax.random.PRNGKey(0),
+            train=False,
+        )
+
+    return jax.jit(eval_fn)
+
+
+def make_grad_step(cfm: Any):
+    """Per-microbatch loss+grads (gradient-accumulation path)."""
+
+    def fn(params: Any, batch: dict[str, jnp.ndarray], rng: jax.Array):
+        def loss_fn(p):
+            return cfm.loss(
+                {"params": p}, batch["mel"], batch["text_ids"],
+                batch["mel_lengths"], rng, train=True,
+            )
+
+        return jax.value_and_grad(loss_fn)(params)
+
+    return jax.jit(fn)
+
+
+def make_apply_step(tx: optax.GradientTransformation, ema_decay: float):
+    def fn(state: TrainState, grads: Any, scale: jnp.ndarray):
+        grads = jax.tree_util.tree_map(lambda g: g * scale, grads)
+        grad_norm = _global_norm(grads)
+        ok = jnp.isfinite(grad_norm)
+        safe = jax.tree_util.tree_map(
+            lambda g: jnp.where(ok, g, jnp.zeros_like(g)), grads
+        )
+        updates, new_opt = tx.update(safe, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        n = state.ema_updates + 1
+        decay = jnp.minimum(ema_decay, (1.0 + n) / (10.0 + n))
+        new_ema = jax.tree_util.tree_map(
+            lambda e, p: decay * e + (1.0 - decay) * p, state.ema_params, new_params
+        )
+
+        def pick(new, old):
+            return jax.tree_util.tree_map(lambda a, b: jnp.where(ok, a, b), new, old)
+
+        return (
+            TrainState(
+                params=pick(new_params, state.params),
+                opt_state=pick(new_opt, state.opt_state),
+                ema_params=pick(new_ema, state.ema_params),
+                step=state.step + jnp.where(ok, 1, 0),
+                ema_updates=state.ema_updates + jnp.where(ok, 1, 0),
+            ),
+            {"grad_norm": grad_norm, "ok": ok},
+        )
+
+    return jax.jit(fn, donate_argnums=(0,))
+
+
+class F5Trainer:
+    """Drop-in trainer facade over the functional step functions."""
+
+    def __init__(
+        self,
+        config: dict[str, Any],
+        model: F5TTS,
+        train_loader: Any,
+        val_loader: Any | None = None,
+        log_dir: str = "logs",
+        checkpoint_dir: str = "checkpoints",
+        hub_repo_id: str | None = None,
+        hub_token: str | None = None,
+        hub_private: bool = False,
+        hub_upload_interval: int = 1,
+        mesh: Any | None = None,
+    ) -> None:
+        self.config = config
+        self.model = model
+        self.train_loader = train_loader
+        self.val_loader = val_loader
+        self.log_dir = log_dir
+        self.hub_repo_id = hub_repo_id
+        self.hub_token = hub_token
+        self.hub_private = hub_private
+        self.hub_upload_interval = max(1, hub_upload_interval)
+        self._upload_count = 0
+        self.mesh = mesh
+
+        lr = config.get("learning_rate", 1e-4)
+        betas = tuple(config.get("betas", [0.9, 0.999]))
+        warmup_steps = config.get("warmup_steps", 1000)
+        num_epochs = config.get("num_epochs", 500)
+        self.grad_accum = max(1, config.get("grad_accumulation_steps", 1))
+        steps_per_epoch = max(len(train_loader) // self.grad_accum, 1)
+        total_steps = num_epochs * steps_per_epoch
+
+        self.schedule = make_lr_schedule(lr, warmup_steps, total_steps)
+        self.tx = make_optimizer(
+            self.schedule,
+            betas=betas,
+            max_grad_norm=config.get("max_grad_norm", 1.0),
+        )
+        self.ema_decay = config.get("ema_decay", 0.9999)
+
+        if model.variables is None:
+            model.init_params(0)
+        params = model.variables["params"]
+        self.state = TrainState(
+            params=params,
+            opt_state=self.tx.init(params),
+            ema_params=jax.tree_util.tree_map(jnp.array, params),
+            step=jnp.asarray(0, jnp.int32),
+            ema_updates=jnp.asarray(0, jnp.int32),
+        )
+        if self.mesh is not None:
+            from oron_tts_tpu.parallel.mesh import param_shardings, replicated
+
+            shardings = TrainState(
+                params=param_shardings(self.mesh, params),
+                opt_state=jax.tree_util.tree_map(
+                    lambda _: replicated(self.mesh), self.state.opt_state,
+                ),
+                ema_params=param_shardings(self.mesh, params),
+                step=replicated(self.mesh),
+                ema_updates=replicated(self.mesh),
+            )
+            self.state = jax.device_put(self.state, shardings)
+
+        self._train_step = make_train_step(model.cfm, self.tx, self.ema_decay)
+        self._eval_step = make_eval_step(model.cfm)
+        self._grad_step = make_grad_step(model.cfm)
+        self._apply_step = make_apply_step(self.tx, self.ema_decay)
+
+        self.global_step = 0
+        self.epoch = 0
+        self._best_val = float("inf")
+        self.use_tqdm = config.get("use_tqdm", True)
+
+        self.checkpoint_manager = CheckpointManager(
+            checkpoint_dir,
+            model_name="f5tts",
+            max_checkpoints=config.get("max_checkpoints", 5),
+        )
+        self.logger = self._setup_logger()
+        self.writer = self._setup_tensorboard()
+
+    # ── infra ────────────────────────────────────────────────────────────
+
+    def _setup_logger(self) -> logging.Logger:
+        logger = logging.getLogger("F5Trainer")
+        logger.setLevel(logging.INFO)
+        logger.handlers.clear()
+        handler = logging.StreamHandler(sys.stdout)
+        handler.setFormatter(
+            logging.Formatter("[%(asctime)s] %(message)s", datefmt="%Y-%m-%d %H:%M:%S")
+        )
+        logger.addHandler(handler)
+        return logger
+
+    def _setup_tensorboard(self):
+        try:
+            from tensorboardX import SummaryWriter
+
+            path = Path(self.log_dir).expanduser().resolve()
+            path.mkdir(parents=True, exist_ok=True)
+            self.log_dir = str(path)
+            self.logger.info("TensorBoard log_dir = %s", self.log_dir)
+            return SummaryWriter(log_dir=self.log_dir, flush_secs=30)
+        except ImportError:
+            self.logger.warning("tensorboardX not installed — console logging only")
+            return None
+
+    def _device_mem_gb(self) -> float | None:
+        try:
+            stats = jax.local_devices()[0].memory_stats()
+            if stats and "bytes_in_use" in stats:
+                return stats["bytes_in_use"] / 1e9
+        except Exception:
+            pass
+        return None
+
+    # ── steps ────────────────────────────────────────────────────────────
+
+    def _shard(self, batch: dict[str, np.ndarray]) -> dict[str, Any]:
+        if self.mesh is None:
+            return batch
+        from oron_tts_tpu.parallel.mesh import shard_batch
+
+        return shard_batch(self.mesh, batch)
+
+    def train_epoch(self, total_epochs: int) -> float:
+        total_loss, n_updates = 0.0, 0
+        epoch_start = time.monotonic()
+        rng = jax.random.PRNGKey(self.config.get("seed", 0) + self.epoch)
+
+        iterator = self.train_loader
+        pbar = None
+        if self.use_tqdm:
+            from tqdm import tqdm
+
+            pbar = tqdm(
+                self.train_loader,
+                desc=f"Epoch {self.epoch + 1}/{total_epochs}",
+            )
+            iterator = pbar
+
+        accum_grads = None
+        accum_losses: list[float] = []
+
+        for accum_step, batch in enumerate(iterator):
+            if not np.isfinite(batch["mel"]).all():
+                self.logger.warning("Skipping batch due to non-finite mel values")
+                continue
+            rng, step_rng = jax.random.split(rng)
+            sharded = self._shard(batch)
+            batch_size = int(batch["mel"].shape[0])
+            mel_frames = int(batch["mel"].shape[2])
+
+            if self.grad_accum == 1:
+                self.state, metrics = self._train_step(self.state, sharded, step_rng)
+                loss = float(metrics["loss"])
+                grad_norm = float(metrics["grad_norm"])
+                ok = bool(metrics["ok"])
+                if not math.isfinite(loss):
+                    self.logger.warning(
+                        "Skipping batch due to non-finite loss=%s", loss
+                    )
+                    continue
+                if not ok:
+                    self.logger.warning(
+                        "Skipped optimizer step (non-finite grad_norm=%s)", grad_norm
+                    )
+                    continue
+                step_loss = loss
+            else:
+                loss, grads = self._grad_step(self.state.params, sharded, step_rng)
+                loss = float(loss)
+                if not math.isfinite(loss):
+                    self.logger.warning(
+                        "Skipping batch due to non-finite loss=%s", loss
+                    )
+                    accum_grads, accum_losses = None, []
+                    continue
+                accum_losses.append(loss)
+                if accum_grads is None:
+                    accum_grads = grads
+                else:
+                    accum_grads = jax.tree_util.tree_map(
+                        jnp.add, accum_grads, grads
+                    )
+                if (accum_step + 1) % self.grad_accum != 0:
+                    continue
+                scale = jnp.asarray(1.0 / len(accum_losses), jnp.float32)
+                self.state, metrics = self._apply_step(
+                    self.state, accum_grads, scale
+                )
+                grad_norm = float(metrics["grad_norm"])
+                ok = bool(metrics["ok"])
+                step_loss = float(np.mean(accum_losses))
+                accum_grads, accum_losses = None, []
+                if not ok:
+                    self.logger.warning(
+                        "Skipped optimizer step (non-finite grad_norm=%s)", grad_norm
+                    )
+                    continue
+
+            total_loss += step_loss
+            n_updates += 1
+            self.global_step += 1
+            lr = float(self.schedule(self.global_step))
+
+            if self.writer:
+                self.writer.add_scalar("train/loss", step_loss, self.global_step)
+                self.writer.add_scalar("train/lr", lr, self.global_step)
+                self.writer.add_scalar("train/grad_norm", grad_norm, self.global_step)
+                self.writer.add_scalar("train/batch_size", batch_size, self.global_step)
+                self.writer.add_scalar("train/mel_frames", mel_frames, self.global_step)
+                mem = self._device_mem_gb()
+                if mem is not None:
+                    self.writer.add_scalar("system/vram_gb", mem, self.global_step)
+
+            log_interval = self.config.get("log_interval", 100)
+            if (self.global_step % log_interval == 0 and not self.use_tqdm):
+                self.logger.info(
+                    f"Step {self.global_step} | loss={step_loss:.4f} | "
+                    f"lr={lr:.2e} | grad_norm={grad_norm:.4f} | B={batch_size}"
+                )
+            if pbar is not None:
+                pbar.set_postfix(
+                    loss=f"{step_loss:.4f}", lr=f"{lr:.1e}", gn=f"{grad_norm:.2f}"
+                )
+
+        # flush a partial accumulation window (reference trainer.py:319-327)
+        if accum_grads is not None and accum_losses:
+            scale = jnp.asarray(1.0 / len(accum_losses), jnp.float32)
+            self.state, metrics = self._apply_step(self.state, accum_grads, scale)
+            if bool(metrics["ok"]):
+                total_loss += float(np.mean(accum_losses))
+                n_updates += 1
+                self.global_step += 1
+
+        self.epoch += 1
+        epoch_time = time.monotonic() - epoch_start
+        samples = getattr(self.train_loader.dataset, "__len__", lambda: 0)()
+        throughput = samples / epoch_time if epoch_time > 0 else 0.0
+        self.logger.info(
+            f"  ↳ epoch {self.epoch}: {epoch_time:.1f}s | "
+            f"{throughput:.0f} samples/s | "
+            f"avg_loss={total_loss / max(n_updates, 1):.4f}"
+        )
+        return total_loss / max(n_updates, 1)
+
+    def validate(self, use_ema: bool = True) -> float:
+        if self.val_loader is None:
+            return 0.0
+        params = self.state.ema_params if use_ema else self.state.params
+        total, n = 0.0, 0
+        for batch in self.val_loader:
+            loss = float(self._eval_step(params, self._shard(batch)))
+            total += loss
+            n += 1
+        return total / max(n, 1)
+
+    def _log_audio_samples(self, epoch: int) -> None:
+        if not self.writer:
+            return
+        interval = self.config.get("audio_sample_interval", 10)
+        if epoch % interval != 0:
+            return
+        samples = self.config.get(
+            "audio_samples",
+            [["Сайн байна уу, та хэрхэн байна?", "mn"],
+             ["Монгол улс сайхан орон.", "mn"]],
+        )
+        saved = self.model.variables
+        self.model.variables = {"params": self.state.ema_params}
+        try:
+            for entry in samples[:2]:
+                text, lang = entry[0], entry[1]
+                tag = f"{lang}/{text[:20].replace(' ', '_')}"
+                try:
+                    wav = self.model.synthesize(text, lang=lang, n_steps=16)
+                    self.writer.add_audio(
+                        f"audio/{tag}", wav[None, :], epoch,
+                        sample_rate=self.model.sample_rate,
+                    )
+                    from oron_tts_tpu.ops.mel import log_mel_numpy
+
+                    mel = log_mel_numpy(wav, self.model.audio_processor.mel_config)
+                    img = mel[::-1][None]
+                    img = (img - img.min()) / (img.max() - img.min() + 1e-8)
+                    self.writer.add_image(f"mel/{tag}", img, epoch)
+                except Exception as exc:
+                    self.logger.warning(
+                        "Audio sample synthesis failed for %r: %s", text, exc,
+                        exc_info=True,
+                    )
+        finally:
+            self.model.variables = saved
+
+    def train(self, num_epochs: int, save_interval: int = 5) -> None:
+        self.logger.info(
+            f"Training: epochs {self.epoch}→{num_epochs}, "
+            f"grad_accum={self.grad_accum}, devices={jax.device_count()}"
+        )
+        start_epoch = self.epoch
+        train_start = time.monotonic()
+
+        for _ in range(self.epoch, num_epochs):
+            sampler = getattr(self.train_loader, "batch_sampler", None)
+            if sampler is not None and hasattr(sampler, "set_epoch"):
+                sampler.set_epoch(self.epoch)
+
+            avg_loss = self.train_epoch(total_epochs=num_epochs)
+
+            val_loss = self.validate(use_ema=True)
+            self._log_audio_samples(self.epoch)
+            is_best = 0 < val_loss < self._best_val
+            if is_best:
+                self._best_val = val_loss
+
+            elapsed = time.monotonic() - train_start
+            done = self.epoch - start_epoch
+            remaining = elapsed / done * (num_epochs - self.epoch) if done else 0.0
+            eta_h, eta_s = divmod(int(remaining), 3600)
+            lr = float(self.schedule(self.global_step))
+            val_str = f" | val_loss={val_loss:.4f}" if val_loss > 0 else ""
+            self.logger.info(
+                f"Epoch {self.epoch}/{num_epochs} | avg_loss={avg_loss:.4f}"
+                f"{val_str} | lr={lr:.2e} | ETA={eta_h}h{eta_s // 60:02d}m"
+            )
+            if self.writer:
+                self.writer.add_scalar("epoch/train_loss", avg_loss, self.epoch)
+                if val_loss > 0:
+                    self.writer.add_scalar("epoch/val_loss", val_loss, self.epoch)
+                self.writer.add_scalar("epoch/lr", lr, self.epoch)
+                self.writer.flush()
+
+            if self.epoch % save_interval == 0:
+                self.save_checkpoint(is_best=is_best, loss=avg_loss)
+                self._maybe_push_to_hub()
+
+        self.finish()
+
+    def finish(self) -> None:
+        if self.writer:
+            self.writer.flush()
+            self.writer.close()
+            self.writer = None
+        # keep the facade pointing at the trained weights
+        self.model.variables = {"params": self.state.params}
+
+    # ── checkpointing ────────────────────────────────────────────────────
+
+    def save_checkpoint(self, is_best: bool = False,
+                        loss: float | None = None) -> Path:
+        return self.checkpoint_manager.save(
+            step=self.global_step,
+            params=self.state.params,
+            opt_state=self.state.opt_state,
+            ema_params=self.state.ema_params,
+            loss=loss,
+            config=self.config,
+            is_best=is_best,
+            extra_state={"epoch": self.epoch, "best_val": self._best_val},
+        )
+
+    def load_checkpoint(self, path: str | Path | None = None,
+                        load_best: bool = False) -> None:
+        info = self.checkpoint_manager.load(path=path, load_best=load_best)
+        if info.get("params") is None:
+            self.logger.info("No checkpoint found — starting fresh")
+            return
+        self.global_step = int(info.get("step", 0))
+        self.epoch = int(info.get("epoch", 0))
+        best = info.get("best_val")
+        self._best_val = float(best) if best is not None else float("inf")
+        params = info["params"]
+        opt_state = info.get("opt")
+        if opt_state is not None:
+            opt_state = jax.tree_util.tree_unflatten(
+                jax.tree_util.tree_structure(self.tx.init(params)),
+                jax.tree_util.tree_leaves(opt_state),
+            )
+        else:
+            opt_state = self.tx.init(params)
+        ema = info.get("ema") if info.get("ema") is not None else params
+        self.state = TrainState(
+            params=params,
+            opt_state=opt_state,
+            ema_params=ema,
+            step=jnp.asarray(self.global_step, jnp.int32),
+            ema_updates=jnp.asarray(self.global_step, jnp.int32),
+        )
+        self.model.variables = {"params": params}
+        self.logger.info(
+            "Resumed from step %d (epoch %d)", self.global_step, self.epoch
+        )
+
+    def _maybe_push_to_hub(self) -> None:
+        if self.hub_repo_id is None:
+            return
+        self._upload_count += 1
+        if self._upload_count < self.hub_upload_interval:
+            return
+        self._upload_count = 0
+        try:
+            url = self.push_to_hub(
+                self.hub_repo_id, token=self.hub_token, private=self.hub_private
+            )
+            self.logger.info("Uploaded checkpoints and logs to %s", url)
+        except Exception as exc:
+            self.logger.warning("HuggingFace upload failed: %s", exc, exc_info=True)
+
+    def push_to_hub(self, repo_id: str, token: str | None = None,
+                    private: bool = False) -> str:
+        if self.writer:
+            self.writer.flush()
+        return self.checkpoint_manager.push_to_hub(
+            repo_id, token=token, private=private, log_dir=self.log_dir
+        )
