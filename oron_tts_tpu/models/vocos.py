@@ -19,7 +19,7 @@ import flax.linen as nn
 import jax.numpy as jnp
 import numpy as np
 
-from oron_tts_tpu.ops.stft import istft
+from oron_tts_tpu.ops.stft import istft_real
 
 
 class VocosConvNeXtBlock(nn.Module):
@@ -82,14 +82,15 @@ class VocosDecoder(nn.Module):
 
         if self.head_mode == "mag_phase":
             mag, phase = out[..., :n_bins], out[..., n_bins:]
-            mag = jnp.exp(jnp.clip(mag, max=6.907755))  # clip at log(1e2)·... safety
-            spec = mag * (jnp.cos(phase) + 1j * jnp.sin(phase))
-            spec = spec.swapaxes(-1, -2)  # [B, F, T]
-            return istft(spec, self.n_fft, self.hop_length, normalized=False)
+            mag = jnp.exp(jnp.clip(mag, max=6.907755))  # official Vocos clip (1e2... safety)
+            re = (mag * jnp.cos(phase)).swapaxes(-1, -2)  # [B, F, T]
+            im = (mag * jnp.sin(phase)).swapaxes(-1, -2)
+            return istft_real(re, im, self.n_fft, self.hop_length, normalized=False)
         # reference stub: interleaved real/imag per bin, normalized ISTFT
         ri = out.reshape(*out.shape[:-1], n_bins, 2)
-        spec = (ri[..., 0] + 1j * ri[..., 1]).swapaxes(-1, -2)
-        return istft(spec, self.n_fft, self.hop_length, normalized=True)
+        re = ri[..., 0].swapaxes(-1, -2)
+        im = ri[..., 1].swapaxes(-1, -2)
+        return istft_real(re, im, self.n_fft, self.hop_length, normalized=True)
 
 
 def convert_vocos_state_dict(

@@ -1,9 +1,9 @@
 """Griffin-Lim mel→waveform fallback (no learned weights required).
 
 Used when no trained vocoder checkpoint is available: inverts the log-mel
-via the filterbank pseudo-inverse, then recovers phase iteratively. Quality
-is below a trained Vocos but produces intelligible audio from any mel that
-honors the framework's mel contract.
+via the filterbank pseudo-inverse, then recovers phase iteratively. All
+spectral transforms are real-matmul DFTs (ops.dft) — complex-free so the
+loop runs on TPU as MXU matmuls.
 """
 
 from __future__ import annotations
@@ -14,8 +14,9 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from oron_tts_tpu.ops.dft import rdft
 from oron_tts_tpu.ops.mel import MelConfig, hann_window, mel_filterbank
-from oron_tts_tpu.ops.stft import istft
+from oron_tts_tpu.ops.stft import istft_real
 
 
 @functools.lru_cache(maxsize=4)
@@ -32,18 +33,15 @@ def mel_to_linear(log_mel: jnp.ndarray, cfg: MelConfig) -> jnp.ndarray:
     return jnp.maximum(mag, 0.0)
 
 
-def _stft_complex(audio: jnp.ndarray, cfg: MelConfig) -> jnp.ndarray:
-    window = jnp.asarray(
-        np.pad(hann_window(cfg.win_length),
-               ((cfg.n_fft - cfg.win_length) // 2,) * 2)
-        if cfg.win_length != cfg.n_fft else hann_window(cfg.win_length)
-    )
+def _stft_re_im(audio: jnp.ndarray, cfg: MelConfig) -> tuple[jnp.ndarray, jnp.ndarray]:
+    window = jnp.asarray(hann_window(cfg.win_length))
     pad = cfg.n_fft // 2
     padded = jnp.pad(audio, [(0, 0)] * (audio.ndim - 1) + [(pad, pad)], mode="reflect")
     n_frames = 1 + audio.shape[-1] // cfg.hop_length
     idx = jnp.arange(n_frames)[:, None] * cfg.hop_length + jnp.arange(cfg.n_fft)[None, :]
     frames = padded[..., idx] * window
-    return jnp.fft.rfft(frames, axis=-1).swapaxes(-1, -2)
+    re, im = rdft(frames, cfg.n_fft)
+    return re.swapaxes(-1, -2), im.swapaxes(-1, -2)  # [..., F, T]
 
 
 def griffin_lim(
@@ -52,20 +50,25 @@ def griffin_lim(
     n_iter: int = 32,
     seed: int = 0,
 ) -> jnp.ndarray:
-    """[..., n_mels, T] log-mel → waveform [..., T*hop]."""
+    """[..., n_mels, T] log-mel → waveform [..., (T-1)*hop]."""
     mag = mel_to_linear(log_mel, cfg)  # [..., F, T]
     t_frames = mag.shape[-1]
     length = (t_frames - 1) * cfg.hop_length
 
     key = jax.random.PRNGKey(seed)
     phase = jax.random.uniform(key, mag.shape, minval=-np.pi, maxval=np.pi)
-    spec = mag * jnp.exp(1j * phase)
+    re = mag * jnp.cos(phase)
+    im = mag * jnp.sin(phase)
 
-    def body(_, spec):
-        wav = istft(spec, cfg.n_fft, cfg.hop_length, cfg.win_length, length=length)
-        re = _stft_complex(wav, cfg)[..., :t_frames]
-        angles = re / jnp.maximum(jnp.abs(re), 1e-8)
-        return mag * angles
+    def body(_, carry):
+        re, im = carry
+        wav = istft_real(re, im, cfg.n_fft, cfg.hop_length, cfg.win_length,
+                         length=length)
+        new_re, new_im = _stft_re_im(wav, cfg)
+        new_re, new_im = new_re[..., :t_frames], new_im[..., :t_frames]
+        norm = jnp.maximum(jnp.sqrt(new_re**2 + new_im**2), 1e-8)
+        return mag * new_re / norm, mag * new_im / norm
 
-    spec = jax.lax.fori_loop(0, n_iter, body, spec)
-    return istft(spec, cfg.n_fft, cfg.hop_length, cfg.win_length, length=length)
+    re, im = jax.lax.fori_loop(0, n_iter, body, (re, im))
+    return istft_real(re, im, cfg.n_fft, cfg.hop_length, cfg.win_length,
+                      length=length)

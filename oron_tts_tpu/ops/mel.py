@@ -102,18 +102,27 @@ def frame_signal(audio: jnp.ndarray, n_fft: int, hop: int) -> jnp.ndarray:
 
 
 def stft_magnitude(audio: jnp.ndarray, cfg: MelConfig) -> jnp.ndarray:
-    """Magnitude spectrogram [..., n_freqs, n_frames] (power=1, center=True)."""
+    """Magnitude spectrogram [..., n_freqs, n_frames] (power=1, center=True).
+
+    Uses the real-matmul DFT (ops.dft) — TPU has no complex support and the
+    basis matmul maps straight onto the MXU.
+    """
+    from oron_tts_tpu.ops.dft import rdft_magnitude
+
     window, _ = _constants(cfg)
     frames = frame_signal(audio.astype(jnp.float32), cfg.n_fft, cfg.hop_length)
-    spec = jnp.fft.rfft(frames * window, axis=-1)  # [..., T, F]
-    return jnp.abs(spec).swapaxes(-1, -2)
+    mag = rdft_magnitude(frames * window, cfg.n_fft)  # [..., T, F]
+    return mag.swapaxes(-1, -2)
 
 
 def log_mel_spectrogram(audio: jnp.ndarray, cfg: MelConfig) -> jnp.ndarray:
     """Log-mel features [..., n_mels, n_frames] matching the Vocos contract."""
     _, fb = _constants(cfg)
     mag = stft_magnitude(audio, cfg)  # [..., F, T]
-    mel = jnp.einsum("...ft,fm->...mt", mag, fb)
+    # HIGHEST precision: default bf16 MXU passes visibly perturb log-mels
+    mel = jnp.einsum(
+        "...ft,fm->...mt", mag, fb, precision=jax.lax.Precision.HIGHEST
+    )
     return jnp.log(jnp.clip(mel, min=cfg.log_clip))
 
 

@@ -2,8 +2,9 @@
 
 Matches torch.istft(center=True, onesided=True) semantics, including the
 ``normalized=True`` scaling used by the reference decoder
-(/root/reference/src/models/decoder.py:94-102): for a normalized-STFT input
-each frame's inverse is scaled by sqrt(n_fft) before windowing.
+(/root/reference/src/models/decoder.py:94-102). The inverse DFT is computed
+as real basis matmuls (ops.dft) — no complex arrays anywhere, since the TPU
+backend lacks complex support and matmuls ride the MXU.
 """
 
 from __future__ import annotations
@@ -13,6 +14,7 @@ import functools
 import jax.numpy as jnp
 import numpy as np
 
+from oron_tts_tpu.ops.dft import irdft
 from oron_tts_tpu.ops.mel import hann_window
 
 
@@ -24,8 +26,9 @@ def _window(n_fft: int, win_length: int) -> np.ndarray:
     return w
 
 
-def istft(
-    spec: jnp.ndarray,
+def istft_real(
+    re: jnp.ndarray,
+    im: jnp.ndarray,
     n_fft: int,
     hop_length: int,
     win_length: int | None = None,
@@ -34,12 +37,11 @@ def istft(
     length: int | None = None,
     eps: float = 1e-11,
 ) -> jnp.ndarray:
-    """Overlap-add inverse STFT.
+    """Overlap-add inverse STFT from (Re, Im) parts.
 
     Args:
-        spec: complex spectrogram [..., n_freqs, n_frames] (onesided).
-        length: output length; defaults to n_frames*hop - n_fft + hop when
-            center else (n_frames-1)*hop + n_fft.
+        re, im: [..., n_freqs, n_frames] onesided spectrum components.
+        length: output length; defaults to the torch.istft convention.
 
     Returns:
         waveform [..., length]
@@ -47,7 +49,7 @@ def istft(
     win_length = win_length or n_fft
     window = jnp.asarray(_window(n_fft, win_length))
 
-    frames = jnp.fft.irfft(spec.swapaxes(-1, -2), n=n_fft, axis=-1)  # [..., T, n_fft]
+    frames = irdft(re.swapaxes(-1, -2), im.swapaxes(-1, -2), n_fft)  # [..., T, n_fft]
     if normalized:
         frames = frames * jnp.sqrt(jnp.asarray(n_fft, dtype=frames.dtype))
     frames = frames * window
@@ -55,7 +57,6 @@ def istft(
     n_frames = frames.shape[-2]
     out_len = n_fft + hop_length * (n_frames - 1)
 
-    # Overlap-add via scatter over frame offsets.
     idx = (
         jnp.arange(n_frames)[:, None] * hop_length + jnp.arange(n_fft)[None, :]
     ).reshape(-1)
@@ -63,7 +64,6 @@ def istft(
     wav = jnp.zeros((*frames.shape[:-2], out_len), dtype=frames.dtype)
     wav = wav.at[..., idx].add(flat)
 
-    # Window-envelope normalization (sum of squared windows per sample).
     wsq = jnp.zeros(out_len, dtype=frames.dtype)
     wsq = wsq.at[idx].add(jnp.tile(window * window, n_frames))
     wav = wav / jnp.maximum(wsq, eps)
@@ -77,3 +77,21 @@ def istft(
         if deficit > 0:
             wav = jnp.pad(wav, [(0, 0)] * (wav.ndim - 1) + [(0, deficit)])
     return wav
+
+
+def istft(
+    spec: jnp.ndarray,
+    n_fft: int,
+    hop_length: int,
+    win_length: int | None = None,
+    normalized: bool = False,
+    center: bool = True,
+    length: int | None = None,
+    eps: float = 1e-11,
+) -> jnp.ndarray:
+    """Complex-input convenience wrapper (CPU parity tests; TPU code should
+    call istft_real directly with separate components)."""
+    return istft_real(
+        jnp.real(spec), jnp.imag(spec), n_fft, hop_length, win_length,
+        normalized=normalized, center=center, length=length, eps=eps,
+    )
