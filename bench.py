@@ -37,12 +37,16 @@ def main() -> None:
     backend = jax.default_backend()
     print(f"# backend={backend} devices={jax.devices()}", file=sys.stderr)
 
+    import os
+
+    use_flash = os.environ.get("ORON_BENCH_FLASH", "1") != "0"
     # Base config, bf16 compute
     model = DiT(
         dim=1024, depth=22, heads=16, dim_head=64, ff_mult=4,
         dropout=0.0, mel_dim=100, vocab_size=65, text_dim=512, conv_layers=4,
-        dtype=jnp.bfloat16,
+        dtype=jnp.bfloat16, use_flash=use_flash,
     )
+    print(f"# use_flash={use_flash}", file=sys.stderr)
     cfm = CFM(model, CFMConfig())
     vocoder = VocosDecoder(dtype=jnp.bfloat16)
 

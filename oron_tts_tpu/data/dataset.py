@@ -144,6 +144,19 @@ class TTSDataset:
     def __len__(self) -> int:
         return self._len
 
+    def _mel(self, audio: np.ndarray) -> np.ndarray:
+        """Host-side feature extraction: native audiokit, numpy fallback."""
+        from oron_tts_tpu import native
+
+        cfg = self.mel_config
+        out = native.log_mel(
+            audio, cfg.sample_rate, cfg.n_fft, cfg.hop_length,
+            cfg.win_length, cfg.n_mels,
+        )
+        if out is not None:
+            return out
+        return log_mel_numpy(audio, cfg)
+
     def _load_audio(self, idx: int) -> np.ndarray:
         if self.audio_bytes_list is not None:
             return wavio.decode_audio_bytes(
@@ -172,7 +185,7 @@ class TTSDataset:
                 f"{len(audio) / self.sample_rate:.2f}s < {self.min_duration_s:.2f}s"
             )
 
-        mel = log_mel_numpy(audio, self.mel_config)  # [n_mels, T]
+        mel = self._mel(audio)  # [n_mels, T]
         T = mel.shape[-1]
         raw_ids = self.text_cleaner.text_to_sequence(
             text, lang=lang, attr_tokens=self.attr_tokens_list[idx]

@@ -1,9 +1,13 @@
-"""Pallas TPU flash attention (non-causal, key-padding mask).
+"""Pallas TPU flash attention (non-causal, prefix key-padding).
 
 Online-softmax attention tiled for the MXU: the query axis is the grid, the
 KV axis is streamed block-by-block in VMEM with running max/sum rescaling.
 Sized for the TTS workload (T ≤ ~3k bucketed to 128s, head_dim 64): one
 (batch, head) pair's full K/V fits VMEM, so only Q is blocked.
+
+Padding is always a length-prefix in this framework (lens_to_mask), so the
+mask rides into the kernel as one scalar KV length per row in SMEM and is
+materialized with iota — no [B, T] mask array traffic.
 
 Forward-only: training uses the XLA einsum path (which autodiffs); the
 sampler's 64 DiT forwards per utterance are where this kernel pays.
@@ -22,11 +26,15 @@ from jax.experimental.pallas import tpu as pltpu
 NEG_INF = -1e30
 
 
-def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, block_k: int, sm_scale: float):
+def _flash_kernel(
+    lens_ref, q_ref, k_ref, v_ref, o_ref, *, block_k: int, sm_scale: float,
+    masked: bool,
+):
     q = q_ref[0].astype(jnp.float32) * sm_scale  # [block_q, d]
     block_q, d = q.shape
     t_kv = k_ref.shape[1]
     num_kv = t_kv // block_k
+    kv_len = lens_ref[pl.program_id(0)]  # full lens array lives in SMEM
 
     def body(i, carry):
         m_prev, l_prev, acc = carry
@@ -36,40 +44,11 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, block_k: int, sm_scale: float):
             q, k, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         )  # [block_q, block_k]
-        m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))
-        p = jnp.exp(s - m_new)
-        alpha = jnp.exp(m_prev - m_new)
-        l_new = l_prev * alpha + jnp.sum(p, axis=-1, keepdims=True)
-        acc = acc * alpha + jax.lax.dot(
-            p, v, preferred_element_type=jnp.float32
-        )
-        return m_new, l_new, acc
-
-    m0 = jnp.full((block_q, 1), NEG_INF, jnp.float32)
-    l0 = jnp.zeros((block_q, 1), jnp.float32)
-    acc0 = jnp.zeros((block_q, d), jnp.float32)
-    _, l, acc = jax.lax.fori_loop(0, num_kv, body, (m0, l0, acc0))
-    o_ref[0] = (acc / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
-
-
-def _flash_kernel_masked(
-    q_ref, k_ref, v_ref, mask_ref, o_ref, *, block_k: int, sm_scale: float
-):
-    q = q_ref[0].astype(jnp.float32) * sm_scale
-    block_q, d = q.shape
-    t_kv = k_ref.shape[1]
-    num_kv = t_kv // block_k
-
-    def body(i, carry):
-        m_prev, l_prev, acc = carry
-        k = k_ref[0, pl.ds(i * block_k, block_k), :].astype(jnp.float32)
-        v = v_ref[0, pl.ds(i * block_k, block_k), :].astype(jnp.float32)
-        kv_mask = mask_ref[0, pl.ds(i * block_k, block_k)]  # [block_k]
-        s = jax.lax.dot_general(
-            q, k, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        s = jnp.where(kv_mask[None, :], s, NEG_INF)
+        if masked:
+            col = i * block_k + jax.lax.broadcasted_iota(
+                jnp.int32, (block_q, block_k), 1
+            )
+            s = jnp.where(col < kv_len, s, NEG_INF)
         m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))
         p = jnp.exp(s - m_new)
         alpha = jnp.exp(m_prev - m_new)
@@ -94,13 +73,14 @@ def flash_attention(
     k: jnp.ndarray,
     v: jnp.ndarray,
     kv_mask: jnp.ndarray | None = None,
+    kv_lens: jnp.ndarray | None = None,
     block_q: int = 256,
     block_k: int = 512,
     interpret: bool = False,
 ) -> jnp.ndarray:
-    """q, k, v: [B, H, T, D]; kv_mask: [B, T] (True = valid key).
+    """q, k, v: [B, H, T, D]. Padding via kv_lens [B] (or a prefix kv_mask
+    [B, T], reduced to lengths). T must be a multiple of 128.
 
-    T must be a multiple of 128 (the bucketing contract guarantees it).
     Returns [B, H, T, D] in q's dtype.
     """
     B, H, T, D = q.shape
@@ -112,46 +92,44 @@ def flash_attention(
         block_k //= 2
     sm_scale = 1.0 / math.sqrt(D)
 
+    masked = kv_mask is not None or kv_lens is not None
+    if kv_lens is None:
+        if kv_mask is not None:
+            kv_lens = jnp.sum(kv_mask.astype(jnp.int32), axis=-1)
+        else:
+            kv_lens = jnp.full((B,), T, jnp.int32)
+
     bh = B * H
     qf = q.reshape(bh, T, D)
     kf = k.reshape(bh, T, D)
     vf = v.reshape(bh, T, D)
+    lens_f = jnp.broadcast_to(
+        kv_lens.astype(jnp.int32)[:, None], (B, H)
+    ).reshape(bh)
 
     grid = (bh, T // block_q)
-    q_spec = pl.BlockSpec((1, block_q, D), lambda b, i: (b, i, 0),
-                          memory_space=pltpu.VMEM)
-    kv_spec = pl.BlockSpec((1, T, D), lambda b, i: (b, 0, 0),
-                           memory_space=pltpu.VMEM)
-    o_spec = pl.BlockSpec((1, block_q, D), lambda b, i: (b, i, 0),
-                          memory_space=pltpu.VMEM)
-    cost = pl.CostEstimate(
-        flops=4 * T * T * D * bh, bytes_accessed=3 * bh * T * D * 2,
-        transcendentals=bh * T * T,
-    )
-
-    if kv_mask is None:
-        out = pl.pallas_call(
-            functools.partial(_flash_kernel, block_k=block_k, sm_scale=sm_scale),
-            out_shape=jax.ShapeDtypeStruct((bh, T, D), q.dtype),
-            grid=grid,
-            in_specs=[q_spec, kv_spec, kv_spec],
-            out_specs=o_spec,
-            cost_estimate=cost,
-            interpret=interpret,
-        )(qf, kf, vf)
-    else:
-        mask_b = jnp.broadcast_to(kv_mask[:, None, :], (B, H, T)).reshape(bh, T)
-        mask_spec = pl.BlockSpec((1, T), lambda b, i: (b, 0),
-                                 memory_space=pltpu.VMEM)
-        out = pl.pallas_call(
-            functools.partial(
-                _flash_kernel_masked, block_k=block_k, sm_scale=sm_scale
-            ),
-            out_shape=jax.ShapeDtypeStruct((bh, T, D), q.dtype),
-            grid=grid,
-            in_specs=[q_spec, kv_spec, kv_spec, mask_spec],
-            out_specs=o_spec,
-            cost_estimate=cost,
-            interpret=interpret,
-        )(qf, kf, vf, mask_b)
+    out = pl.pallas_call(
+        functools.partial(
+            _flash_kernel, block_k=block_k, sm_scale=sm_scale, masked=masked
+        ),
+        out_shape=jax.ShapeDtypeStruct((bh, T, D), q.dtype),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, block_q, D), lambda b, i: (b, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, T, D), lambda b, i: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, T, D), lambda b, i: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, block_q, D), lambda b, i: (b, i, 0),
+                               memory_space=pltpu.VMEM),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * T * T * D * bh,
+            bytes_accessed=3 * bh * T * D * 2,
+            transcendentals=bh * T * T,
+        ),
+        interpret=interpret,
+    )(lens_f, qf, kf, vf)
     return out.reshape(B, H, T, D)

@@ -93,4 +93,16 @@ def shard_params(mesh: Mesh, params: Any) -> Any:
 
 def shard_batch(mesh: Mesh, batch: dict[str, Any]) -> dict[str, Any]:
     sharding = batch_sharding(mesh)
+    if jax.process_count() > 1:
+        # each host holds its local slice of the global batch; assemble the
+        # global array across hosts (DCN-aware path for multi-host pods)
+        return {
+            k: jax.make_array_from_process_local_data(sharding, v)
+            for k, v in batch.items()
+        }
     return {k: jax.device_put(v, sharding) for k, v in batch.items()}
+
+
+def shard_dataset_indices(n: int) -> list[int]:
+    """Per-host sample shard (replaces DistributedSampler's rank split)."""
+    return list(range(jax.process_index(), n, jax.process_count()))

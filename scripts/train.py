@@ -102,6 +102,9 @@ def main() -> None:
                         help="(compat) accepted and ignored; JAX uses all devices")
     parser.add_argument("--mesh", type=str, default=None,
                         help="Device mesh as DPxTP, e.g. 8x1 or 4x2")
+    parser.add_argument("--multihost", action="store_true",
+                        help="Call jax.distributed.initialize() for multi-host "
+                             "TPU pods (uses TPU metadata for rendezvous)")
     parser.add_argument("--num-epochs", type=int, default=None)
     parser.add_argument("--device", type=str, default=None,
                         help="JAX platform override (cpu/tpu)")
@@ -115,6 +118,13 @@ def main() -> None:
 
         jax.config.update("jax_platforms", args.device)
     import jax
+
+    if args.multihost:
+        # multi-host pods: one process per host, ICI/DCN rendezvous via the
+        # TPU metadata service (replaces the reference's NCCL localhost:12355)
+        jax.distributed.initialize()
+        print(f"Process {jax.process_index()}/{jax.process_count()}, "
+              f"{jax.local_device_count()} local devices")
     import jax.numpy as jnp
     import numpy as np
 
@@ -142,6 +152,9 @@ def main() -> None:
     perm = rng.permutation(n)
     val_idx = set(perm[:val_size].tolist()) if val_size >= 2 else set()
     train_idx = [i for i in range(n) if i not in val_idx]
+    if jax.process_count() > 1:
+        # per-host shard of the training samples (DistributedSampler analogue)
+        train_idx = train_idx[jax.process_index():: jax.process_count()]
 
     class _Subset:
         def __init__(self, base, indices):
