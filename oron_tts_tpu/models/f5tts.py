@@ -102,7 +102,7 @@ class F5TTS:
     """Model bundle: DiT backbone + CFM + audio frontend + vocoder."""
 
     def __init__(self, config: F5Config, dtype: Any = jnp.float32,
-                 use_flash: bool = False, pad_to_multiple: int = 128) -> None:
+                 use_flash: bool | None = None, pad_to_multiple: int = 128) -> None:
         self.config = config
         m, a = config.model, config.audio
         self.n_mels = a.n_mels
@@ -115,22 +115,33 @@ class F5TTS:
             sample_rate=a.sample_rate, n_fft=a.n_fft,
             hop_length=a.hop_length, win_length=a.win_length, n_mels=a.n_mels,
         )
-        self.backbone = DiT(
-            dim=m.dim, depth=m.depth, heads=m.heads, dim_head=m.dim_head,
-            ff_mult=m.ff_mult, dropout=m.p_dropout, mel_dim=a.n_mels,
-            vocab_size=m.vocab_size, text_dim=m.text_dim,
-            conv_layers=m.conv_layers,
-            gradient_checkpointing=config.gradient_checkpointing,
-            dtype=dtype, use_flash=use_flash,
+        if use_flash is None:
+            # the Pallas kernel is forward-only, so it drives inference; on
+            # TPU it beats the einsum path ~1.5x at TTS sequence lengths
+            use_flash = jax.default_backend() == "tpu"
+
+        def make_backbone(flash: bool) -> DiT:
+            return DiT(
+                dim=m.dim, depth=m.depth, heads=m.heads, dim_head=m.dim_head,
+                ff_mult=m.ff_mult, dropout=m.p_dropout, mel_dim=a.n_mels,
+                vocab_size=m.vocab_size, text_dim=m.text_dim,
+                conv_layers=m.conv_layers,
+                gradient_checkpointing=config.gradient_checkpointing,
+                dtype=dtype, use_flash=flash,
+            )
+
+        cfm_cfg = CFMConfig(
+            audio_drop_prob=m.audio_drop_prob,
+            cond_drop_prob=m.cond_drop_prob,
+            frac_lengths_mask=m.frac_lengths_mask,
+            n_mels=a.n_mels,
         )
-        self.cfm = CFM(
-            self.backbone,
-            CFMConfig(
-                audio_drop_prob=m.audio_drop_prob,
-                cond_drop_prob=m.cond_drop_prob,
-                frac_lengths_mask=m.frac_lengths_mask,
-                n_mels=a.n_mels,
-            ),
+        # training backbone (autodiff-able) and inference backbone (flash)
+        # share one parameter pytree — module defs carry no state
+        self.backbone = make_backbone(False)
+        self.cfm = CFM(self.backbone, cfm_cfg)
+        self.cfm_infer = CFM(
+            make_backbone(use_flash) if use_flash else self.backbone, cfm_cfg
         )
         self.variables: dict[str, Any] | None = None
         self._vocoder = None  # (module, variables) or "griffin_lim"
@@ -323,7 +334,7 @@ class F5TTS:
         fn = self._sample_cache.get(key)
         if fn is None:
             def run(variables, cond, text_ids, duration, lens, noise):
-                out, _ = self.cfm.sample(
+                out, _ = self.cfm_infer.sample(
                     variables, cond, text_ids, duration, lens,
                     steps=steps, cfg_strength=cfg_strength,
                     sway_sampling_coef=sway, noise=noise,

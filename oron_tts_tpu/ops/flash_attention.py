@@ -65,6 +65,34 @@ def _flash_kernel(
     o_ref[0] = (acc / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
 
 
+def _pick_blocks(T: int, block_q: int | None, block_k: int | None) -> tuple[int, int]:
+    """Largest divisor blocks under a VMEM budget for the f32 score tile.
+
+    Swept on v5e (T=1664, D=64): streaming the WHOLE K/V per matmul with a
+    large q block beats small square tiles by ~2.4x — the D=64 contraction
+    starves the MXU, so fewer/bigger matmuls win.
+    """
+
+    def divisors_desc(n: int) -> list[int]:
+        return sorted((d for d in range(8, n + 1) if n % d == 0), reverse=True)
+
+    if block_k is None:
+        block_k = T if T <= 2048 else next(
+            (d for d in divisors_desc(T) if d <= 1024), 128
+        )
+    else:
+        while T % block_k:
+            block_k //= 2
+    budget = 6 * 1024 * 1024  # f32 score tile budget
+    if block_q is None:
+        max_q = max(budget // (block_k * 4), 8)
+        block_q = next((d for d in divisors_desc(T) if d <= max_q), 128)
+    else:
+        while T % block_q:
+            block_q //= 2
+    return block_q, block_k
+
+
 @functools.partial(
     jax.jit, static_argnames=("block_q", "block_k", "interpret")
 )
@@ -74,22 +102,17 @@ def flash_attention(
     v: jnp.ndarray,
     kv_mask: jnp.ndarray | None = None,
     kv_lens: jnp.ndarray | None = None,
-    block_q: int = 256,
-    block_k: int = 512,
+    block_q: int | None = None,
+    block_k: int | None = None,
     interpret: bool = False,
 ) -> jnp.ndarray:
     """q, k, v: [B, H, T, D]. Padding via kv_lens [B] (or a prefix kv_mask
-    [B, T], reduced to lengths). T must be a multiple of 128.
+    [B, T], reduced to lengths). T must be a multiple of 8.
 
     Returns [B, H, T, D] in q's dtype.
     """
     B, H, T, D = q.shape
-    block_q = min(block_q, T)
-    block_k = min(block_k, T)
-    while T % block_q:
-        block_q //= 2
-    while T % block_k:
-        block_k //= 2
+    block_q, block_k = _pick_blocks(T, block_q, block_k)
     sm_scale = 1.0 / math.sqrt(D)
 
     masked = kv_mask is not None or kv_lens is not None

@@ -333,10 +333,17 @@ class F5Trainer:
         accum_grads = None
         accum_losses: list[float] = []
 
+        profile_at = self.config.get("profile_step")  # global step to trace
         for accum_step, batch in enumerate(iterator):
             if not np.isfinite(batch["mel"]).all():
                 self.logger.warning("Skipping batch due to non-finite mel values")
                 continue
+            if profile_at is not None and self.global_step == profile_at:
+                jax.profiler.start_trace(str(Path(self.log_dir) / "profile"))
+            elif profile_at is not None and self.global_step == profile_at + 3:
+                jax.profiler.stop_trace()
+                self.logger.info("Profiler trace written to %s/profile", self.log_dir)
+                profile_at = None
             rng, step_rng = jax.random.split(rng)
             sharded = self._shard(batch)
             batch_size = int(batch["mel"].shape[0])
