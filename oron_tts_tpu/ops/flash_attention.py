@@ -30,7 +30,9 @@ def _flash_kernel(
     lens_ref, q_ref, k_ref, v_ref, o_ref, *, block_k: int, sm_scale: float,
     masked: bool,
 ):
-    q = q_ref[0].astype(jnp.float32) * sm_scale  # [block_q, d]
+    # keep matmul operands in the input dtype (bf16): the MXU runs bf16 at
+    # 8x the f32 rate; accumulation stays f32 via preferred_element_type
+    q = q_ref[0]  # [block_q, d]
     block_q, d = q.shape
     t_kv = k_ref.shape[1]
     num_kv = t_kv // block_k
@@ -38,12 +40,12 @@ def _flash_kernel(
 
     def body(i, carry):
         m_prev, l_prev, acc = carry
-        k = k_ref[0, pl.ds(i * block_k, block_k), :].astype(jnp.float32)
-        v = v_ref[0, pl.ds(i * block_k, block_k), :].astype(jnp.float32)
+        k = k_ref[0, pl.ds(i * block_k, block_k), :]
+        v = v_ref[0, pl.ds(i * block_k, block_k), :]
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
-        )  # [block_q, block_k]
+        ) * sm_scale  # [block_q, block_k] f32
         if masked:
             col = i * block_k + jax.lax.broadcasted_iota(
                 jnp.int32, (block_q, block_k), 1
@@ -54,7 +56,7 @@ def _flash_kernel(
         alpha = jnp.exp(m_prev - m_new)
         l_new = l_prev * alpha + jnp.sum(p, axis=-1, keepdims=True)
         acc = acc * alpha + jax.lax.dot(
-            p, v, preferred_element_type=jnp.float32
+            p.astype(v.dtype), v, preferred_element_type=jnp.float32
         )
         return m_new, l_new, acc
 

@@ -124,6 +124,44 @@ def convert_f5tts_state_dict(
     return convert_dit_state_dict(backbone, depth=depth, conv_layers=conv_layers)
 
 
+def merge_compatible(
+    params: dict[str, Any], loaded: dict[str, Any]
+) -> tuple[dict[str, Any], list[str]]:
+    """Overlay ``loaded`` onto ``params``, skipping shape-mismatched leaves.
+
+    The reference's non-strict pretrained load (checkpoint.py:153-205): lets
+    an official F5-TTS Base checkpoint load while the 65-token Cyrillic text
+    embedding keeps its fresh initialization.
+
+    Returns (merged, skipped_paths).
+    """
+    import jax
+
+    skipped: list[str] = []
+
+    def keystr(kp) -> str:
+        return "/".join(k.key if hasattr(k, "key") else str(k) for k in kp)
+
+    flat_loaded = {
+        keystr(kp): leaf
+        for kp, leaf in jax.tree_util.tree_flatten_with_path(loaded)[0]
+    }
+
+    def pick(kp, base_leaf):
+        path = keystr(kp)
+        cand = flat_loaded.get(path)
+        if cand is None:
+            skipped.append(path + " (missing)")
+            return base_leaf
+        if np.shape(cand) != np.shape(base_leaf):
+            skipped.append(path)
+            return base_leaf
+        return np.asarray(cand, dtype=np.asarray(base_leaf).dtype)
+
+    merged = jax.tree_util.tree_map_with_path(pick, params)
+    return merged, skipped
+
+
 def load_torch_checkpoint(path: str) -> dict[str, Any]:
     """Read a reference ``.pt``/``.safetensors`` checkpoint into numpy arrays.
 

@@ -237,14 +237,19 @@ def main() -> None:
             from oron_tts_tpu.utils.torch_compat import (
                 convert_f5tts_state_dict,
                 load_torch_checkpoint,
+                merge_compatible,
             )
 
             sd = load_torch_checkpoint(str(path))
-            model.variables = {
-                "params": convert_f5tts_state_dict(
-                    sd, depth=f5cfg.model.depth, conv_layers=f5cfg.model.conv_layers
-                )
-            }
+            converted = convert_f5tts_state_dict(
+                sd, depth=f5cfg.model.depth, conv_layers=f5cfg.model.conv_layers
+            )
+            # non-strict: shape-mismatched leaves (e.g. the 65-token text
+            # embedding vs official F5-TTS vocab) keep their fresh init
+            merged, skipped = merge_compatible(model.variables["params"], converted)
+            model.variables = {"params": merged}
+            if skipped:
+                print(f"[WARN] Shape-skipped pretrained keys (first 5): {skipped[:5]}")
         print(f"Loaded pretrained weights from {path}")
 
     trainer = F5Trainer(
