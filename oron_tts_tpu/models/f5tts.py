@@ -116,33 +116,28 @@ class F5TTS:
             hop_length=a.hop_length, win_length=a.win_length, n_mels=a.n_mels,
         )
         if use_flash is None:
-            # the Pallas kernel is forward-only, so it drives inference; on
-            # TPU it beats the einsum path ~1.5x at TTS sequence lengths
+            # flash attention (with its custom VJP) wins on TPU for both
+            # inference (~1.5x attention) and the train step (~1.3x e2e)
             use_flash = jax.default_backend() == "tpu"
 
-        def make_backbone(flash: bool) -> DiT:
-            return DiT(
-                dim=m.dim, depth=m.depth, heads=m.heads, dim_head=m.dim_head,
-                ff_mult=m.ff_mult, dropout=m.p_dropout, mel_dim=a.n_mels,
-                vocab_size=m.vocab_size, text_dim=m.text_dim,
-                conv_layers=m.conv_layers,
-                gradient_checkpointing=config.gradient_checkpointing,
-                dtype=dtype, use_flash=flash,
-            )
-
-        cfm_cfg = CFMConfig(
-            audio_drop_prob=m.audio_drop_prob,
-            cond_drop_prob=m.cond_drop_prob,
-            frac_lengths_mask=m.frac_lengths_mask,
-            n_mels=a.n_mels,
+        self.backbone = DiT(
+            dim=m.dim, depth=m.depth, heads=m.heads, dim_head=m.dim_head,
+            ff_mult=m.ff_mult, dropout=m.p_dropout, mel_dim=a.n_mels,
+            vocab_size=m.vocab_size, text_dim=m.text_dim,
+            conv_layers=m.conv_layers,
+            gradient_checkpointing=config.gradient_checkpointing,
+            dtype=dtype, use_flash=use_flash,
         )
-        # training backbone (autodiff-able) and inference backbone (flash)
-        # share one parameter pytree — module defs carry no state
-        self.backbone = make_backbone(False)
-        self.cfm = CFM(self.backbone, cfm_cfg)
-        self.cfm_infer = CFM(
-            make_backbone(use_flash) if use_flash else self.backbone, cfm_cfg
+        self.cfm = CFM(
+            self.backbone,
+            CFMConfig(
+                audio_drop_prob=m.audio_drop_prob,
+                cond_drop_prob=m.cond_drop_prob,
+                frac_lengths_mask=m.frac_lengths_mask,
+                n_mels=a.n_mels,
+            ),
         )
+        self.cfm_infer = self.cfm
         self.variables: dict[str, Any] | None = None
         self._vocoder = None  # (module, variables) or "griffin_lim"
         self._sample_cache: dict[tuple, Any] = {}

@@ -230,14 +230,17 @@ class Attention(nn.Module):
         if rope is not None:
             q, k = apply_rope(q, k, rope[0], rope[1])
 
-        if self.use_flash and mask is None:
-            from oron_tts_tpu.ops.flash_attention import flash_attention
+        if self.use_flash:
+            from oron_tts_tpu.ops.flash_attention import flash_attention_trainable
 
-            out = flash_attention(q, k, v)
-        elif self.use_flash:
-            from oron_tts_tpu.ops.flash_attention import flash_attention
-
-            out = flash_attention(q, k, v, kv_mask=mask)
+            # padding is a length prefix throughout the framework
+            kv_lens = (
+                jnp.sum(mask.astype(jnp.int32), axis=-1)
+                if mask is not None
+                else jnp.full((B,), T, jnp.int32)
+            )
+            interpret = jax.default_backend() == "cpu"
+            out = flash_attention_trainable(q, k, v, kv_lens, interpret)
         else:
             scale = 1.0 / math.sqrt(self.dim_head)
             logits = jnp.einsum(

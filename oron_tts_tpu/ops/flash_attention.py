@@ -9,9 +9,10 @@ Padding is always a length-prefix in this framework (lens_to_mask), so the
 mask rides into the kernel as one scalar KV length per row in SMEM and is
 materialized with iota — no [B, T] mask array traffic.
 
-Forward-only: training uses the XLA einsum path (which autodiffs); the
-sampler's 64 DiT forwards per utterance are where this kernel pays.
-"""
+``flash_attention`` is the forward op; ``flash_attention_trainable`` adds a
+custom VJP whose backward kernel recomputes the softmax statistics instead
+of saving logsumexp (one extra QK matmul, zero stats plumbing — cheap at
+this scale and bit-consistent with the forward)."""
 
 from __future__ import annotations
 
@@ -158,3 +159,142 @@ def flash_attention(
         interpret=interpret,
     )(lens_f, qf, kf, vf)
     return out.reshape(B, H, T, D)
+
+
+# ── backward (custom VJP) ────────────────────────────────────────────────
+
+
+def _flash_bwd_kernel(
+    lens_ref, q_ref, k_ref, v_ref, o_ref, do_ref,
+    dq_ref, dk_ref, dv_ref,
+    *, block_q: int, sm_scale: float, masked: bool,
+):
+    """One program per (batch, head): loops q blocks, accumulates dK/dV.
+
+    Recomputes s = qK^T and the softmax normalization per q block, then
+      dP = dO V^T;  Δ = rowsum(dO ∘ O);  dS = P ∘ (dP − Δ) · scale
+      dQ = dS K;    dK += dS^T Q;        dV += P^T dO
+    """
+    t_kv, d = k_ref.shape[1], k_ref.shape[2]
+    num_q = t_kv // block_q
+    kv_len = lens_ref[pl.program_id(0)]
+    k_all = k_ref[0]
+    v_all = v_ref[0]
+
+    if masked:
+        col_valid = (
+            jax.lax.broadcasted_iota(jnp.int32, (block_q, t_kv), 1) < kv_len
+        )
+
+    def body(qi, carry):
+        dk_acc, dv_acc = carry
+        q = q_ref[0, pl.ds(qi * block_q, block_q), :]
+        do = do_ref[0, pl.ds(qi * block_q, block_q), :].astype(jnp.float32)
+        o = o_ref[0, pl.ds(qi * block_q, block_q), :].astype(jnp.float32)
+
+        s = jax.lax.dot_general(
+            q, k_all, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * sm_scale  # [block_q, T]
+        if masked:
+            s = jnp.where(col_valid, s, NEG_INF)
+        m = jnp.max(s, axis=-1, keepdims=True)
+        p = jnp.exp(s - m)
+        p = p / jnp.maximum(jnp.sum(p, axis=-1, keepdims=True), 1e-30)
+
+        dp = jax.lax.dot_general(
+            do.astype(v_all.dtype), v_all, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [block_q, T]
+        delta = jnp.sum(do * o, axis=-1, keepdims=True)
+        ds = p * (dp - delta) * sm_scale  # [block_q, T] f32
+        ds_lp = ds.astype(q.dtype)
+        p_lp = p.astype(q.dtype)
+
+        dq = jax.lax.dot(ds_lp, k_all, preferred_element_type=jnp.float32)
+        dq_ref[0, pl.ds(qi * block_q, block_q), :] = dq.astype(dq_ref.dtype)
+
+        dk_acc = dk_acc + jax.lax.dot_general(
+            ds_lp, q, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [T, d]
+        dv_acc = dv_acc + jax.lax.dot_general(
+            p_lp, do.astype(q.dtype), (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        return dk_acc, dv_acc
+
+    dk0 = jnp.zeros((t_kv, d), jnp.float32)
+    dv0 = jnp.zeros((t_kv, d), jnp.float32)
+    dk, dv = jax.lax.fori_loop(0, num_q, body, (dk0, dv0))
+    dk_ref[0] = dk.astype(dk_ref.dtype)
+    dv_ref[0] = dv.astype(dv_ref.dtype)
+
+
+def _bwd_block_q(T: int) -> int:
+    # f32 tiles [block_q, T] x ~3 live at once; keep them under ~4.5MB total
+    budget = max((3 * 1024 * 1024) // (T * 4), 8)
+    for d in sorted((d for d in range(8, T + 1) if T % d == 0), reverse=True):
+        if d <= budget:
+            return d
+    return 8
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _flash_bwd(q, k, v, kv_lens, out, dout, interpret=False):
+    B, H, T, D = q.shape
+    bh = B * H
+    sm_scale = 1.0 / math.sqrt(D)
+    block_q = _bwd_block_q(T)
+    lens_f = jnp.broadcast_to(
+        kv_lens.astype(jnp.int32)[:, None], (B, H)
+    ).reshape(bh)
+    full = pl.BlockSpec((1, T, D), lambda b: (b, 0, 0), memory_space=pltpu.VMEM)
+    dq, dk, dv = pl.pallas_call(
+        functools.partial(
+            _flash_bwd_kernel, block_q=block_q, sm_scale=sm_scale, masked=True
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((bh, T, D), q.dtype),
+            jax.ShapeDtypeStruct((bh, T, D), k.dtype),
+            jax.ShapeDtypeStruct((bh, T, D), v.dtype),
+        ),
+        grid=(bh,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM), full, full, full,
+                  full, full],
+        out_specs=(full, full, full),
+        cost_estimate=pl.CostEstimate(
+            flops=10 * T * T * D * bh, bytes_accessed=6 * bh * T * D * 2,
+            transcendentals=bh * T * T,
+        ),
+        interpret=interpret,
+    )(
+        lens_f,
+        q.reshape(bh, T, D),
+        k.reshape(bh, T, D),
+        v.reshape(bh, T, D),
+        out.reshape(bh, T, D),
+        dout.reshape(bh, T, D),
+    )
+    shape = (B, H, T, D)
+    return dq.reshape(shape), dk.reshape(shape), dv.reshape(shape)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
+def flash_attention_trainable(q, k, v, kv_lens, interpret=False):
+    """Differentiable flash attention; kv_lens [B] prefix lengths."""
+    return flash_attention(q, k, v, kv_lens=kv_lens, interpret=interpret)
+
+
+def _fat_fwd(q, k, v, kv_lens, interpret):
+    out = flash_attention(q, k, v, kv_lens=kv_lens, interpret=interpret)
+    return out, (q, k, v, kv_lens, out)
+
+
+def _fat_bwd(interpret, residuals, dout):
+    q, k, v, kv_lens, out = residuals
+    dq, dk, dv = _flash_bwd(q, k, v, kv_lens, out, dout, interpret=interpret)
+    return dq, dk, dv, None
+
+
+flash_attention_trainable.defvjp(_fat_fwd, _fat_bwd)

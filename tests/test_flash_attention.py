@@ -79,21 +79,10 @@ def test_dit_with_flash_matches_einsum():
     variables = base.init(jax.random.PRNGKey(0), x, x, text, time, mask=mask)
     ref_out = base.apply(variables, x, cond=x, text_ids=text, time=time, mask=mask)
 
-    import oron_tts_tpu.ops.flash_attention as fa
-
-    orig = fa.flash_attention
-
-    def interp(*args, **kw):
-        kw["interpret"] = True
-        return orig(*args, **kw)
-
-    fa.flash_attention = interp
-    try:
-        flash = DiT(**kwargs, use_flash=True)
-        flash_out = flash.apply(variables, x, cond=x, text_ids=text, time=time,
-                                mask=mask)
-    finally:
-        fa.flash_attention = orig
+    # on the CPU test backend the Attention module auto-selects interpret mode
+    flash = DiT(**kwargs, use_flash=True)
+    flash_out = flash.apply(variables, x, cond=x, text_ids=text, time=time,
+                            mask=mask)
     np.testing.assert_allclose(
         np.asarray(flash_out), np.asarray(ref_out), atol=1e-4, rtol=1e-3
     )
