@@ -161,6 +161,7 @@ class CFM:
         seed: int | jax.Array | None = None,
         noise: jnp.ndarray | None = None,
         return_trajectory: bool = False,
+        max_duration: int = 65536,
     ) -> tuple[jnp.ndarray, jnp.ndarray | None]:
         """Euler-ODE generation.
 
@@ -174,9 +175,36 @@ class CFM:
         Returns:
             (mel [B, T, M], trajectory [steps+1, B, T, M] or None)
         """
+        if steps < 1:
+            raise ValueError(f"steps must be >= 1, got {steps}")
+        if cfg_strength < 0:
+            raise ValueError(f"cfg_strength must be >= 0, got {cfg_strength}")
         batch, max_dur, n_mels = cond.shape
-        duration = duration.astype(jnp.int32)
-        lens = lens.astype(jnp.int32)
+        if max_dur > max_duration:
+            raise ValueError(f"duration exceeds max_duration={max_duration}")
+        # host-side validation when inputs are concrete (flow.py:191-230);
+        # traced inputs skip it (shapes are still statically bounded)
+        import numpy as _np
+
+        if isinstance(duration, (list, tuple)) or isinstance(
+            duration, _np.ndarray
+        ):
+            d = _np.asarray(duration)
+            ln = _np.asarray(lens)
+            if d.size != batch or ln.size != batch:
+                raise ValueError("duration/lens must have one value per sample")
+            if (d <= 0).any():
+                raise ValueError("duration values must be > 0")
+            if (ln < 0).any():
+                raise ValueError("lens values must be >= 0")
+            if (ln > d).any():
+                raise ValueError(
+                    "conditioning lens must be <= duration for every sample"
+                )
+            if (d > max_dur).any():
+                raise ValueError("duration must be <= padded cond length")
+        duration = jnp.asarray(duration).astype(jnp.int32)
+        lens = jnp.asarray(lens).astype(jnp.int32)
 
         cond_mask = lens_to_mask(lens, max_dur)[..., None]
         step_cond = jnp.where(cond_mask, cond, 0.0)

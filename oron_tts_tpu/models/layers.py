@@ -70,6 +70,22 @@ def text_position_table(dim: int, max_pos: int = 8192, theta: float = 10000.0) -
     return np.concatenate([np.cos(angles), np.sin(angles)], axis=-1).astype(np.float32)
 
 
+class RMSNorm(nn.Module):
+    """Root-mean-square norm (reference modules.py:15-26; kept for parity —
+    unused by the DiT, available for custom blocks)."""
+
+    dim: int
+    eps: float = 1e-6
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        weight = self.param("weight", nn.initializers.ones, (self.dim,))
+        var = jnp.mean(jnp.square(x.astype(jnp.float32)), axis=-1, keepdims=True)
+        normed = x * jax.lax.rsqrt(var + self.eps).astype(x.dtype)
+        return normed * weight.astype(x.dtype)
+
+
 class TimestepEmbedding(nn.Module):
     dim: int
     freq_embed_dim: int = 256
