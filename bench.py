@@ -26,6 +26,9 @@ TARGET_RTF = 0.05
 
 
 def main() -> None:
+    from oron_tts_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
     import jax
     import jax.numpy as jnp
     import numpy as np

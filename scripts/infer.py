@@ -98,6 +98,9 @@ def main() -> None:
 
         jax.config.update("jax_platforms", args.device)
 
+    from oron_tts_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
     from oron_tts_tpu.data.wav import write_wav
     from oron_tts_tpu.models.f5tts import split_text_for_synthesis
 

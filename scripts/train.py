@@ -138,6 +138,9 @@ def main() -> None:
     from oron_tts_tpu.models.f5tts import F5TTS
     from oron_tts_tpu.train.trainer import F5Trainer
 
+    from oron_tts_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
     config = load_config(args.config)
     if args.num_epochs:
         config["num_epochs"] = args.num_epochs
