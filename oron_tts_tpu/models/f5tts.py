@@ -203,12 +203,32 @@ class F5TTS:
             return
         path = Path(checkpoint_path)
         if path.suffix == ".npz":
-            from oron_tts_tpu.train.checkpoint import unflatten_tree
+            import json
 
-            data = np.load(path)
-            params = unflatten_tree({k: data[k] for k in data.files})
-            head_mode = "real_imag"
-            layer_scale = any("gamma" in k for k in data.files)
+            from oron_tts_tpu.train.checkpoint import load_pytree_npz
+
+            trees, _meta = load_pytree_npz(path)
+            params = trees.get("ema") or trees.get("params") or trees
+            voc_cfg_path = path.parent / "config.json"
+            voc_cfg = (
+                json.loads(voc_cfg_path.read_text())
+                if voc_cfg_path.exists() else {}
+            )
+            head_mode = voc_cfg.get("head_mode", "real_imag")
+            layer_scale = bool(voc_cfg.get("layer_scale", False))
+            module = VocosDecoder(
+                n_mels=self.n_mels,
+                dim=voc_cfg.get("dim", 512),
+                n_layers=voc_cfg.get("n_layers", 8),
+                intermediate_dim=voc_cfg.get("intermediate_dim", 1536),
+                n_fft=self.config.audio.n_fft,
+                hop_length=self.hop_length,
+                sample_rate=self.sample_rate,
+                head_mode=head_mode,
+                layer_scale=layer_scale,
+            )
+            self._vocoder = (module, {"params": params})
+            return
         else:
             from oron_tts_tpu.utils.torch_compat import load_torch_checkpoint
 

@@ -1,0 +1,90 @@
+"""Vocoder training: loss wiring, gradient flow, and a short convergence run."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from oron_tts_tpu.models.vocos import VocosDecoder
+from oron_tts_tpu.ops.mel import MelConfig
+from oron_tts_tpu.train.vocoder import (
+    crop_batch,
+    make_vocoder_train_step,
+    multi_resolution_stft_loss,
+    vocoder_loss,
+)
+
+CFG = MelConfig()
+
+
+def test_mrstft_loss_zero_for_identical():
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((2, 8192)), jnp.float32)
+    assert float(multi_resolution_stft_loss(x, x)) < 1e-5
+    y = jnp.asarray(rng.standard_normal((2, 8192)), jnp.float32)
+    assert float(multi_resolution_stft_loss(x, y)) > 0.1
+
+
+def test_crop_batch_alignment():
+    rng = np.random.default_rng(1)
+    audios = [rng.standard_normal(24000).astype(np.float32),
+              np.zeros(1000, np.float32)]
+    mels, wavs = crop_batch(audios, CFG, crop_frames=32, rng=rng)
+    assert mels.shape == (2, 100, 32)
+    assert wavs.shape == (2, 32 * 256)
+    # mel of the crop matches the returned mel
+    from oron_tts_tpu.ops.mel import log_mel_numpy
+
+    np.testing.assert_allclose(
+        mels[0], log_mel_numpy(wavs[0], CFG)[:, :32], atol=1e-5
+    )
+
+
+def test_vocoder_short_training_reduces_loss():
+    vocoder = VocosDecoder(n_mels=100, dim=64, n_layers=2,
+                           intermediate_dim=128)
+    rng = np.random.default_rng(2)
+    sr = 24000
+    t = np.arange(sr) / sr
+    audios = [
+        (0.5 * np.sin(2 * np.pi * f * t)).astype(np.float32)
+        for f in (220.0, 440.0)
+    ]
+    mels, wavs = crop_batch(audios, CFG, crop_frames=16, rng=rng)
+    variables = vocoder.init(jax.random.PRNGKey(0), mels)
+    params = variables["params"]
+    tx = optax.adamw(3e-3)
+    opt_state = tx.init(params)
+    step = make_vocoder_train_step(vocoder, tx, CFG)
+
+    first = float(vocoder_loss({"params": params}, vocoder,
+                               jnp.asarray(mels), jnp.asarray(wavs), CFG))
+    for i in range(30):
+        mels_i, wavs_i = crop_batch(audios, CFG, crop_frames=16, rng=rng)
+        params, opt_state, loss, gnorm = step(params, opt_state, mels_i, wavs_i)
+        assert np.isfinite(float(loss))
+    last = float(vocoder_loss({"params": params}, vocoder,
+                              jnp.asarray(mels), jnp.asarray(wavs), CFG))
+    assert last < first, (first, last)
+
+
+def test_vocoder_checkpoint_roundtrip_into_facade(tmp_path):
+    from oron_tts_tpu.config import F5Config
+    from oron_tts_tpu.models.f5tts import F5TTS
+    from oron_tts_tpu.train.checkpoint import CheckpointManager
+
+    vocoder = VocosDecoder(n_mels=100, dim=32, n_layers=1, intermediate_dim=64)
+    mel = np.zeros((1, 100, 8), np.float32)
+    variables = vocoder.init(jax.random.PRNGKey(0), mel)
+    cm = CheckpointManager(tmp_path, model_name="vocos")
+    cm.save(10, variables["params"],
+            config={"dim": 32, "n_layers": 1, "intermediate_dim": 64,
+                    "head_mode": "real_imag"})
+
+    cfg = {"sample_rate": 24000, "n_mels": 100,
+           "model": {"dim": 64, "depth": 1, "heads": 2, "text_dim": 16,
+                     "conv_layers": 1, "p_dropout": 0.0, "ff_mult": 2}}
+    model = F5TTS.from_config(F5Config.from_dict(cfg))
+    model.init_params(0)
+    model.load_vocoder(cm.latest_checkpoint())
+    assert model._vocoder != "griffin_lim"
