@@ -343,9 +343,63 @@ class F5TTS:
             return waveforms[0]
         return concat_with_pause(waveforms, self.sample_rate, pause_s)
 
+    def synthesize_batch(
+        self,
+        texts: list[str],
+        lang: str = "mn",
+        n_steps: int = 32,
+        cfg_strength: float = 2.0,
+        sway_sampling_coef: float | None = -1.0,
+        speed: float = 1.0,
+        seed: int | None = None,
+    ) -> list[np.ndarray]:
+        """Batched ref-free synthesis: one sampler call for many utterances.
+
+        TPU-native throughput path (no reference analogue): utterances pad
+        to a shared bucket and ride one CFG Euler solve; per-row durations
+        mask the tails. Texts longer than one chunk should go through
+        synthesize() instead.
+        """
+        assert self.variables is not None, "call init_params or load a checkpoint"
+        lang = validate_language(lang)
+        if not texts:
+            return []
+        if speed <= 0:
+            raise ValueError(f"speed must be > 0, got {speed}")
+
+        id_lists = [
+            self.text_cleaner.text_to_sequence(t, lang=lang) for t in texts
+        ]
+        target_lens = [
+            max(50, int(max(1, len(t.replace(" ", ""))) * 13 / speed))
+            for t in texts
+        ]
+        bucket = -(-max(target_lens) // self.pad_to_multiple) * self.pad_to_multiple
+
+        batch = len(texts)
+        text_arr = np.full((batch, bucket), -1, dtype=np.int32)
+        for i, (ids, tl) in enumerate(zip(id_lists, target_lens)):
+            text_arr[i, :tl] = stretch_text_to_len(ids, tl)
+        cond = np.zeros((batch, bucket, self.n_mels), dtype=np.float32)
+        durations = np.asarray(target_lens, dtype=np.int32)
+        lens = np.zeros(batch, dtype=np.int32)
+
+        key = jax.random.PRNGKey(0 if seed is None else seed)
+        noise = jax.random.normal(
+            key, (batch, bucket, self.n_mels), dtype=jnp.float32
+        )
+        fn = self._sample_fn(bucket, n_steps, cfg_strength, sway_sampling_coef,
+                             batch=batch)
+        mel_out = fn(self.variables, cond, text_arr, durations, lens, noise)
+        wavs = []
+        for i, tl in enumerate(target_lens):
+            gen = jnp.swapaxes(mel_out[i: i + 1, :tl, :], 1, 2)
+            wavs.append(self._decode_mel(gen).astype(np.float32))
+        return wavs
+
     def _sample_fn(self, bucket_len: int, steps: int, cfg_strength: float,
-                   sway: float | None):
-        key = (bucket_len, steps, cfg_strength, sway)
+                   sway: float | None, batch: int = 1):
+        key = (bucket_len, steps, cfg_strength, sway, batch)
         fn = self._sample_cache.get(key)
         if fn is None:
             def run(variables, cond, text_ids, duration, lens, noise):

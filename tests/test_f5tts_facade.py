@@ -179,3 +179,19 @@ def test_config_files_load():
         assert cfg.audio.sample_rate == 24000
         assert cfg.model.vocab_size == 65
         assert cfg.model.dim % cfg.model.heads == 0
+
+
+def test_synthesize_batch():
+    model = F5TTS.from_config(TINY_CFG)
+    model.init_params(0)
+    texts = ["сайн байна уу", "тавтай морилно уу энд", "нэг"]
+    wavs = model.synthesize_batch(texts, n_steps=2, seed=7)
+    assert len(wavs) == 3
+    for w in wavs:
+        assert w.ndim == 1 and np.isfinite(w).all() and len(w) > 0
+    # longer text → longer audio (duration ∝ char count, floor 50 frames)
+    assert len(wavs[1]) > len(wavs[2])
+    # deterministic given seed
+    again = model.synthesize_batch(texts, n_steps=2, seed=7)
+    np.testing.assert_array_equal(wavs[0], again[0])
+    assert model.synthesize_batch([]) == []
