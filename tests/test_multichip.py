@@ -85,3 +85,56 @@ def test_dp_equals_single_device_loss():
     loss_8, state = run(make_mesh(8, 1))
     assert np.isclose(loss_1, loss_8, rtol=1e-5), (loss_1, loss_8)
     jax.block_until_ready(state.params)
+
+
+def test_tp_matches_dp_loss():
+    """4x2 (dp x tp) sharded step computes the same loss as unsharded."""
+    import jax.numpy as jnp  # noqa: F401
+
+    from oron_tts_tpu.config import F5Config
+    from oron_tts_tpu.models.f5tts import F5TTS
+    from oron_tts_tpu.parallel.mesh import make_mesh, shard_batch
+    from oron_tts_tpu.train.trainer import F5Trainer
+
+    cfg = {
+        "sample_rate": 24000, "n_mels": 100, "learning_rate": 1e-4,
+        "warmup_steps": 2, "num_epochs": 1, "use_tqdm": False,
+        "model": {"vocab_size": 65, "dim": 64, "depth": 1, "heads": 4,
+                  "ff_mult": 2, "text_dim": 16, "conv_layers": 1,
+                  "p_dropout": 0.0},
+    }
+
+    class _Loader:
+        dataset = []
+
+        def __len__(self):
+            return 1
+
+        def __iter__(self):
+            return iter(())
+
+    rng = np.random.default_rng(3)
+    B, T = 4, 64
+    batch = {
+        "mel": rng.standard_normal((B, 100, T)).astype(np.float32),
+        "text_ids": rng.integers(0, 65, (B, T)).astype(np.int32),
+        "mel_lengths": np.full((B,), T, np.int32),
+    }
+
+    def run(mesh):
+        model = F5TTS.from_config(F5Config.from_dict(cfg))
+        model.init_params(0)
+        tr = F5Trainer(config=cfg, model=model, train_loader=_Loader(),
+                       log_dir="/tmp/l2", checkpoint_dir="/tmp/c2", mesh=mesh)
+        b = shard_batch(mesh, batch) if mesh is not None else batch
+        state, metrics = tr._train_step(tr.state, b, jax.random.PRNGKey(5))
+        # updated params must also agree — pull one TP-sharded leaf
+        leaf = np.asarray(
+            jax.device_get(state.params["block0"]["ff"]["in_proj"]["kernel"])
+        )
+        return float(metrics["loss"]), leaf
+
+    loss_ref, leaf_ref = run(None)
+    loss_tp, leaf_tp = run(make_mesh(4, 2))
+    assert np.isclose(loss_ref, loss_tp, rtol=1e-5), (loss_ref, loss_tp)
+    np.testing.assert_allclose(leaf_tp, leaf_ref, atol=1e-5)
