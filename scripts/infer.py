@@ -61,8 +61,11 @@ def main() -> None:
     parser = argparse.ArgumentParser(description="OronTTS F5-TTS Inference (TPU)")
     parser.add_argument("--checkpoint", type=str, required=True,
                         help="Path to .npz/.pt checkpoint or checkpoint dir")
-    parser.add_argument("--text", type=str, required=True,
+    parser.add_argument("--text", type=str, default=None,
                         help="Cyrillic text to synthesize")
+    parser.add_argument("--text-file", type=str, default=None,
+                        help="File with one utterance per line — batched "
+                             "synthesis, outputs <output-stem>_000.wav ...")
     parser.add_argument("--lang", type=str, default="mn", choices=["mn", "kz"])
     parser.add_argument("--output", type=str, default="output.wav")
     parser.add_argument("--ref-audio", type=str, default=None,
@@ -104,10 +107,33 @@ def main() -> None:
     from oron_tts_tpu.data.wav import write_wav
     from oron_tts_tpu.models.f5tts import split_text_for_synthesis
 
+    if (args.text is None) == (args.text_file is None):
+        parser.error("provide exactly one of --text or --text-file")
+
     model = load_model(args.checkpoint, use_ema=not args.no_ema)
     if args.vocoder:
         model.load_vocoder(args.vocoder)
     print(f"Model loaded. Parameters: {model.num_params():,}")
+
+    if args.text_file:
+        texts = [
+            line.strip() for line in Path(args.text_file).read_text().splitlines()
+            if line.strip()
+        ]
+        print(f"Batch synthesis: {len(texts)} utterances [{args.lang}]")
+        wavs = model.synthesize_batch(
+            texts, lang=args.lang, n_steps=args.steps,
+            cfg_strength=args.cfg_strength,
+            sway_sampling_coef=args.sway_sampling_coef,
+            speed=args.speed, seed=args.seed,
+        )
+        out = Path(args.output)
+        out.parent.mkdir(parents=True, exist_ok=True)
+        for i, wav in enumerate(wavs):
+            path = out.with_name(f"{out.stem}_{i:03d}{out.suffix or '.wav'}")
+            write_wav(path, wav, model.sample_rate)
+            print(f"Saved: {path} ({len(wav) / model.sample_rate:.2f} s)")
+        return
 
     print(f"Synthesising [{args.lang}]: {args.text}")
     if args.max_chars_per_chunk > 0:
