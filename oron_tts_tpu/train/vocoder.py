@@ -122,3 +122,87 @@ def crop_batch(
         wavs.append(piece)
         mels.append(log_mel_numpy(piece, mel_cfg)[:, :crop_frames])
     return np.stack(mels), np.stack(wavs)
+
+
+# ── adversarial stage (optional --gan) ───────────────────────────────────
+
+
+def lsgan_d_loss(real_logits: list[jnp.ndarray],
+                 fake_logits: list[jnp.ndarray]) -> jnp.ndarray:
+    """Least-squares discriminator loss: real→1, fake→0."""
+    loss = 0.0
+    for r, f in zip(real_logits, fake_logits):
+        loss = loss + jnp.mean((r - 1.0) ** 2) + jnp.mean(f**2)
+    return loss / len(real_logits)
+
+
+def lsgan_g_loss(fake_logits: list[jnp.ndarray]) -> jnp.ndarray:
+    loss = 0.0
+    for f in fake_logits:
+        loss = loss + jnp.mean((f - 1.0) ** 2)
+    return loss / len(fake_logits)
+
+
+def feature_matching_loss(real_feats: list[list[jnp.ndarray]],
+                          fake_feats: list[list[jnp.ndarray]]) -> jnp.ndarray:
+    loss = 0.0
+    n = 0
+    for rf, ff in zip(real_feats, fake_feats):
+        for r, f in zip(rf, ff):
+            loss = loss + jnp.mean(jnp.abs(r - f))
+            n += 1
+    return loss / max(n, 1)
+
+
+def make_gan_train_steps(
+    vocoder: Any,
+    discriminator: Any,
+    g_tx: optax.GradientTransformation,
+    d_tx: optax.GradientTransformation,
+    mel_cfg: MelConfig,
+    adv_weight: float = 1.0,
+    fm_weight: float = 2.0,
+    mel_weight: float = 15.0,
+):
+    """(generator_step, discriminator_step) — jitted LSGAN updates."""
+
+    @jax.jit
+    def d_step(d_params, d_opt, g_params, mel, wav):
+        fake = jax.lax.stop_gradient(vocoder.apply({"params": g_params}, mel))
+        n = min(fake.shape[-1], wav.shape[-1])
+
+        def loss_fn(dp):
+            real_logits, _ = discriminator.apply({"params": dp}, wav[:, :n])
+            fake_logits, _ = discriminator.apply({"params": dp}, fake[:, :n])
+            return lsgan_d_loss(real_logits, fake_logits)
+
+        loss, grads = jax.value_and_grad(loss_fn)(d_params)
+        updates, new_opt = d_tx.update(grads, d_opt, d_params)
+        return optax.apply_updates(d_params, updates), new_opt, loss
+
+    @jax.jit
+    def g_step(g_params, g_opt, d_params, mel, wav):
+        def loss_fn(gp):
+            fake = vocoder.apply({"params": gp}, mel)
+            n = min(fake.shape[-1], wav.shape[-1])
+            fake_c, real_c = fake[:, :n], wav[:, :n]
+            fake_logits, fake_feats = discriminator.apply(
+                {"params": d_params}, fake_c
+            )
+            _, real_feats = discriminator.apply({"params": d_params}, real_c)
+            adv = lsgan_g_loss(fake_logits)
+            fm = feature_matching_loss(real_feats, fake_feats)
+            stft = multi_resolution_stft_loss(fake_c, real_c)
+            mel_l1 = jnp.mean(jnp.abs(
+                log_mel_spectrogram(fake_c, mel_cfg)
+                - log_mel_spectrogram(real_c, mel_cfg)
+            ))
+            total = (adv_weight * adv + fm_weight * fm + stft
+                     + mel_weight * mel_l1)
+            return total, (adv, fm, stft, mel_l1)
+
+        (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(g_params)
+        updates, new_opt = g_tx.update(grads, g_opt, g_params)
+        return optax.apply_updates(g_params, updates), new_opt, loss, aux
+
+    return g_step, d_step

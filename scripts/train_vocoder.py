@@ -31,6 +31,11 @@ def main() -> None:
     parser.add_argument("--save-interval", type=int, default=5000)
     parser.add_argument("--log-interval", type=int, default=100)
     parser.add_argument("--resume", action="store_true")
+    parser.add_argument("--gan", action="store_true",
+                        help="Enable the adversarial stage (MPD+MRD, LSGAN)")
+    parser.add_argument("--gan-start-step", type=int, default=0,
+                        help="Step at which the GAN stage kicks in")
+    parser.add_argument("--disc-lr", type=float, default=2e-4)
     parser.add_argument("--device", type=str, default=None)
     args = parser.parse_args()
 
@@ -85,22 +90,60 @@ def main() -> None:
             start_step = int(info.get("step", 0))
             print(f"Resumed from step {start_step}")
 
+    d_params = d_opt = g_step_fn = d_step_fn = None
+    d_cm = None
+    if args.gan:
+        from oron_tts_tpu.models.discriminators import VocoderDiscriminator
+        from oron_tts_tpu.train.vocoder import make_gan_train_steps
+
+        disc = VocoderDiscriminator()
+        _, wavs0 = crop_batch(audios[:1], mel_cfg, args.crop_frames,
+                              np.random.default_rng(0))
+        d_params = disc.init(jax.random.PRNGKey(1), wavs0)["params"]
+        d_tx = optax.chain(optax.clip_by_global_norm(1.0),
+                           optax.adamw(args.disc_lr, b1=0.8, b2=0.99))
+        d_opt = d_tx.init(d_params)
+        g_tx2 = optax.chain(optax.clip_by_global_norm(1.0),
+                            optax.adamw(schedule, b1=0.8, b2=0.99))
+        g_opt2 = g_tx2.init(params)
+        g_step_fn, d_step_fn = make_gan_train_steps(
+            vocoder, disc, g_tx2, d_tx, mel_cfg
+        )
+        d_cm = CheckpointManager(args.checkpoint_dir, model_name="vocos_disc",
+                                 max_checkpoints=1)
+        d_info = d_cm.load() if args.resume else {}
+        if d_info.get("params") is not None:
+            d_params = d_info["params"]
+
     rng = np.random.default_rng(1)
     t0 = time.monotonic()
     for step in range(start_step, args.steps):
         idx = rng.choice(len(audios), size=args.batch_size)
         mels, wavs = crop_batch([audios[i] for i in idx], mel_cfg,
                                 args.crop_frames, rng)
-        params, opt_state, loss, gnorm = step_fn(params, opt_state, mels, wavs)
+        gan_active = args.gan and step >= args.gan_start_step
+        if gan_active:
+            d_params, d_opt, d_loss = d_step_fn(d_params, d_opt, params,
+                                                mels, wavs)
+            params, g_opt2, loss, aux = g_step_fn(params, g_opt2, d_params,
+                                                  mels, wavs)
+            gnorm = aux[0]  # adv component for the log line
+        else:
+            params, opt_state, loss, gnorm = step_fn(params, opt_state,
+                                                     mels, wavs)
         if (step + 1) % args.log_interval == 0:
             rate = (step + 1 - start_step) / (time.monotonic() - t0)
+            extra = f" | d_loss={float(d_loss):.4f}" if gan_active else ""
             print(f"step {step + 1}/{args.steps} | loss={float(loss):.4f} | "
-                  f"gnorm={float(gnorm):.3f} | {rate:.1f} it/s", flush=True)
+                  f"gnorm={float(gnorm):.3f}{extra} | {rate:.1f} it/s",
+                  flush=True)
         if (step + 1) % args.save_interval == 0 or step + 1 == args.steps:
             cm.save(step + 1, params, loss=float(loss),
                     config={"dim": args.dim, "n_layers": args.n_layers,
                             "intermediate_dim": args.dim * 3,
                             "head_mode": "real_imag"})
+            if args.gan and d_params is not None and d_cm is not None:
+                d_cm.save(step + 1, d_params)
     print(f"Done. Use: infer.py --vocoder "
           f"{cm.latest_checkpoint()}")
 

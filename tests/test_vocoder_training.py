@@ -88,3 +88,44 @@ def test_vocoder_checkpoint_roundtrip_into_facade(tmp_path):
     model.init_params(0)
     model.load_vocoder(cm.latest_checkpoint())
     assert model._vocoder != "griffin_lim"
+
+
+def test_discriminators_and_gan_steps():
+    from oron_tts_tpu.models.discriminators import VocoderDiscriminator
+    from oron_tts_tpu.train.vocoder import make_gan_train_steps
+
+    rng = np.random.default_rng(3)
+    B, frames = 2, 16
+    wav_len = frames * 256
+    mels = rng.standard_normal((B, 100, frames)).astype(np.float32) - 8.0
+    wavs = (0.3 * rng.standard_normal((B, wav_len))).astype(np.float32)
+
+    vocoder = VocosDecoder(n_mels=100, dim=32, n_layers=1, intermediate_dim=64)
+    disc = VocoderDiscriminator(periods=(2, 3), resolutions=((512, 128),),)
+    g_params = vocoder.init(jax.random.PRNGKey(0), mels)["params"]
+    d_params = disc.init(jax.random.PRNGKey(1), wavs)["params"]
+
+    logits, feats = disc.apply({"params": d_params}, wavs)
+    assert len(logits) == 3  # 2 periods + 1 resolution
+    assert all(np.isfinite(np.asarray(lg)).all() for lg in logits)
+
+    g_tx = optax.adamw(1e-4)
+    d_tx = optax.adamw(1e-4)
+    g_step, d_step = make_gan_train_steps(
+        vocoder, disc, g_tx, d_tx, CFG
+    )
+    g_opt, d_opt = g_tx.init(g_params), d_tx.init(d_params)
+
+    d_params2, d_opt, d_loss = d_step(d_params, d_opt, g_params, mels, wavs)
+    assert np.isfinite(float(d_loss))
+    g_params2, g_opt, g_loss, aux = g_step(g_params, g_opt, d_params2,
+                                           mels, wavs)
+    assert np.isfinite(float(g_loss))
+    assert all(np.isfinite(float(a)) for a in aux)
+    # parameters actually moved
+    moved = any(
+        not np.array_equal(np.asarray(a), np.asarray(b))
+        for a, b in zip(jax.tree_util.tree_leaves(g_params),
+                        jax.tree_util.tree_leaves(g_params2))
+    )
+    assert moved
