@@ -16,6 +16,12 @@ def load_model(checkpoint_path: str, use_ema: bool = True):
     from oron_tts_tpu.train.checkpoint import CheckpointManager, load_pytree_npz
 
     path = Path(checkpoint_path)
+    if not path.exists():
+        raise SystemExit(
+            f"error: checkpoint path does not exist: {path}\n"
+            "Pass a checkpoint directory (with f5tts_step_*.npz + config.json) "
+            "or a .npz/.pt/.safetensors file."
+        )
     ckpt_dir = path if path.is_dir() else path.parent
     cm = CheckpointManager(str(ckpt_dir))
     config = cm.load_config() or {}
