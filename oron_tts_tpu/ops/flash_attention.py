@@ -232,8 +232,10 @@ def _flash_bwd_kernel(
 
 
 def _bwd_block_q(T: int) -> int:
-    # f32 tiles [block_q, T] x ~3 live at once; keep them under ~4.5MB total
-    budget = max((3 * 1024 * 1024) // (T * 4), 8)
+    # several f32 [block_q, T] tiles are live at once (s, p, dp, ds) plus
+    # dk/dv accumulators; budget conservatively — T=2048 overflowed the
+    # default 16MB scoped vmem with larger blocks
+    budget = max((1536 * 1024) // (T * 4), 8)
     for d in sorted((d for d in range(8, T + 1) if T % d == 0), reverse=True):
         if d <= budget:
             return d
@@ -266,6 +268,9 @@ def _flash_bwd(q, k, v, kv_lens, out, dout, interpret=False):
         cost_estimate=pl.CostEstimate(
             flops=10 * T * T * D * bh, bytes_accessed=6 * bh * T * D * 2,
             transcendentals=bh * T * T,
+        ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
         ),
         interpret=interpret,
     )(
