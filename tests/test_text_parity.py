@@ -120,3 +120,36 @@ def test_cleaner_parity(ref_modules):
             assert ref.text_to_sequence(s, lang=lang) == ours.text_to_sequence(
                 s, lang=lang
             ), (lang, s)
+
+
+def test_normalize_text_fuzz_parity(ref_modules):
+    """Randomized digit-pattern fuzzing against the reference cascade."""
+    import random
+
+    _, RefNorm, _ = ref_modules
+    from oron_tts_tpu.text import NumberNormalizer
+
+    rng = random.Random(1234)
+    atoms = [
+        lambda: str(rng.randint(0, 99999)),
+        lambda: f"{rng.randint(0, 9999)}.{rng.randint(0, 999)}",
+        lambda: f"{rng.randint(1, 12)}/{rng.randint(1, 31)}",
+        lambda: f"{rng.randint(0, 23)}:{rng.randint(0, 59):02d}",
+        lambda: f"{rng.randint(1, 2100)}-{rng.randint(1, 12):02d}-{rng.randint(1, 28):02d}",
+        lambda: f"{rng.randint(0, 100)}%",
+        lambda: f"{rng.randint(1, 999)}₮",
+        lambda: f"${rng.randint(1, 999)}",
+        lambda: f"-{rng.randint(0, 50)}°C",
+        lambda: f"{rng.randint(1, 99)}-р",
+        lambda: f"{rng.randint(1, 30)}-{rng.randint(31, 99)}",
+        lambda: f"+976 {rng.randint(1000, 9999)} {rng.randint(1000, 9999)}",
+        lambda: rng.choice(["XIV", "III", "XL", "MCMXCIX", "VII"]),
+        lambda: rng.choice(["үг", "ном", "хүн", "жил", "=", "+", "~"]),
+    ]
+    for lang in ("mn", "kz"):
+        ref, ours = RefNorm(lang=lang), NumberNormalizer(lang=lang)
+        for _ in range(200):
+            text = " ".join(rng.choice(atoms)() for _ in range(rng.randint(1, 6)))
+            assert ref.normalize_text(text) == ours.normalize_text(text), (
+                lang, text,
+            )
