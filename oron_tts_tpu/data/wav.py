@@ -86,13 +86,10 @@ def read_wav(path: str | Path) -> tuple[np.ndarray, int]:
     return read_wav_bytes(Path(path).read_bytes())
 
 
-def write_wav(
-    path: str | Path,
-    samples: np.ndarray,
-    sample_rate: int,
-    subtype: str = "pcm16",
-) -> None:
-    """Write float samples ([n] or [n, ch]) as PCM16 or FLOAT32 WAV."""
+def wav_bytes(
+    samples: np.ndarray, sample_rate: int, subtype: str = "pcm16"
+) -> bytes:
+    """Encode float samples ([n] or [n, ch]) as RIFF/WAVE bytes."""
     samples = np.asarray(samples)
     if samples.ndim == 1:
         channels = 1
@@ -121,7 +118,17 @@ def write_wav(
     out.write(fmt)
     out.write(struct.pack("<4sI", b"data", len(payload)))
     out.write(payload)
-    Path(path).write_bytes(out.getvalue())
+    return out.getvalue()
+
+
+def write_wav(
+    path: str | Path,
+    samples: np.ndarray,
+    sample_rate: int,
+    subtype: str = "pcm16",
+) -> None:
+    """Write float samples ([n] or [n, ch]) as PCM16 or FLOAT32 WAV."""
+    Path(path).write_bytes(wav_bytes(samples, sample_rate, subtype))
 
 
 def wav_info_bytes(data: bytes) -> tuple[float, int]:

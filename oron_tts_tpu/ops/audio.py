@@ -72,13 +72,15 @@ class AudioProcessor:
         )
 
     def mel_spectrogram(self, audio: np.ndarray | jnp.ndarray) -> jnp.ndarray:
-        """Log-mel [n_mels, T] (or [..., n_mels, T] for batched input)."""
+        """Log-mel [n_mels, T] (or [..., n_mels, T] for batched input).
+
+        A [1, L] input collapses to [n_mels, T] like the reference
+        (audio.py:94-110 squeezes the channel dim).
+        """
         arr = jnp.asarray(audio, dtype=jnp.float32)
-        squeeze = False
         if arr.ndim == 2 and arr.shape[0] == 1:
-            arr, squeeze = arr[0], True
-        mel = log_mel_spectrogram_jit(arr, self.mel_config)
-        return mel if not squeeze else mel
+            arr = arr[0]
+        return log_mel_spectrogram_jit(arr, self.mel_config)
 
     def get_audio_duration(self, audio: np.ndarray) -> float:
         return len(audio) / self.sample_rate

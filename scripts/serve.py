@@ -13,7 +13,6 @@ the default chunk bucket at startup.
 
 import argparse
 import base64
-import io
 import json
 import sys
 import threading
@@ -30,22 +29,9 @@ _meta = {}
 
 
 def _wav_bytes(wav, sample_rate: int) -> bytes:
-    import numpy as np
+    from oron_tts_tpu.data.wav import wav_bytes
 
-    from oron_tts_tpu.data import wav as wavio
-
-    buf = io.BytesIO()
-    import struct
-
-    payload = np.round(np.clip(wav, -1, 1) * 32767.0).astype("<i2").tobytes()
-    fmt = struct.pack("<HHIIHH", 1, 1, sample_rate, sample_rate * 2, 2, 16)
-    buf.write(struct.pack("<4sI4s", b"RIFF", 36 + len(payload), b"WAVE"))
-    buf.write(struct.pack("<4sI", b"fmt ", len(fmt)))
-    buf.write(fmt)
-    buf.write(struct.pack("<4sI", b"data", len(payload)))
-    buf.write(payload)
-    _ = wavio  # codec kept importable for parity
-    return buf.getvalue()
+    return wav_bytes(wav, sample_rate)
 
 
 class Handler(BaseHTTPRequestHandler):
