@@ -23,6 +23,7 @@ import numpy as np
 from oron_tts_tpu.data import wav as wavio
 from oron_tts_tpu.ops.mel import MelConfig, log_mel_numpy
 from oron_tts_tpu.text import TextCleaner
+from oron_tts_tpu.text.align import stretch_text_to_len  # noqa: F401 (re-export)
 
 _logger = logging.getLogger(__name__)
 
@@ -78,13 +79,7 @@ def attr_tokens_from_metadata(
     return tokens
 
 
-def stretch_text_to_len(token_ids: list[int], target_len: int) -> list[int]:
-    n = len(token_ids)
-    if n == 0:
-        return [-1] * target_len
-    if n >= target_len:
-        return token_ids[:target_len]
-    return [token_ids[i * n // target_len] for i in range(target_len)]
+
 
 
 class TTSDataset:
@@ -322,13 +317,16 @@ class TTSCollator:
     rows carry mel_length 0 so they contribute nothing to the masked loss.
     """
 
-    def __init__(self, pad_to_multiple: int = 64, pad_batch_to: int | None = None):
+    def __init__(self, pad_to_multiple: int = 64,
+                 pad_batch_to: int | None = None,
+                 pad_batch_to_multiple: int = 1):
         self.pad_to_multiple = pad_to_multiple
         self.pad_batch_to = pad_batch_to
+        self.pad_batch_to_multiple = max(1, pad_batch_to_multiple)
 
     def __call__(self, batch: list[dict[str, Any]]) -> dict[str, np.ndarray]:
         n = len(batch)
-        n_pad = self.pad_batch_to or n
+        n_pad = self.pad_batch_to or round_up(n, self.pad_batch_to_multiple)
         if n_pad < n:
             raise ValueError("pad_batch_to smaller than batch")
         lengths = np.asarray([b["mel"].shape[-1] for b in batch], dtype=np.int32)

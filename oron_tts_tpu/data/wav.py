@@ -22,7 +22,18 @@ _WAVE_FORMAT_EXTENSIBLE = 0xFFFE
 
 
 def read_wav_bytes(data: bytes) -> tuple[np.ndarray, int]:
-    """Decode RIFF/WAVE bytes → (float32 samples [n] or [n, ch], sample_rate)."""
+    """Decode RIFF/WAVE bytes → (float32 samples [n] or [n, ch], sample_rate).
+
+    Raises ValueError for anything malformed (including truncated chunks),
+    so callers can treat "not decodable as wav" uniformly.
+    """
+    try:
+        return _read_wav_bytes(data)
+    except struct.error as exc:
+        raise ValueError(f"malformed WAVE data: {exc}") from exc
+
+
+def _read_wav_bytes(data: bytes) -> tuple[np.ndarray, int]:
     buf = io.BytesIO(data)
     riff, _size, wave = struct.unpack("<4sI4s", buf.read(12))
     if riff != b"RIFF" or wave != b"WAVE":
@@ -132,7 +143,17 @@ def write_wav(
 
 
 def wav_info_bytes(data: bytes) -> tuple[float, int]:
-    """(duration_seconds, sample_rate) without decoding sample data."""
+    """(duration_seconds, sample_rate) without decoding sample data.
+
+    Raises ValueError for malformed/truncated data (never struct.error).
+    """
+    try:
+        return _wav_info_bytes(data)
+    except struct.error as exc:
+        raise ValueError(f"malformed WAVE data: {exc}") from exc
+
+
+def _wav_info_bytes(data: bytes) -> tuple[float, int]:
     buf = io.BytesIO(data)
     riff, _size, wave = struct.unpack("<4sI4s", buf.read(12))
     if riff != b"RIFF" or wave != b"WAVE":

@@ -18,7 +18,6 @@ but functional).
 from __future__ import annotations
 
 from dataclasses import dataclass
-from functools import partial
 from typing import Any
 
 import jax
@@ -259,29 +258,3 @@ class CFM:
         else:
             trajectory = None
         return out, trajectory
-
-
-def make_sample_fn(
-    cfm: CFM,
-    steps: int,
-    cfg_strength: float,
-    sway_sampling_coef: float | None,
-):
-    """jit-compiled sampler closed over static solver settings."""
-
-    @partial(jax.jit, static_argnames=())
-    def fn(variables, cond, text_ids, duration, lens, noise):
-        out, _ = cfm.sample(
-            variables,
-            cond,
-            text_ids,
-            duration,
-            lens,
-            steps=steps,
-            cfg_strength=cfg_strength,
-            sway_sampling_coef=sway_sampling_coef,
-            noise=noise,
-        )
-        return out
-
-    return fn

@@ -27,6 +27,7 @@ from oron_tts_tpu.models.cfm import CFM, CFMConfig
 from oron_tts_tpu.models.dit import DiT
 from oron_tts_tpu.ops.audio import AudioProcessor
 from oron_tts_tpu.text import TextCleaner, validate_language
+from oron_tts_tpu.text.align import stretch_text_to_len  # noqa: F401 (re-export), validate_language
 
 _logger = logging.getLogger(__name__)
 
@@ -88,14 +89,7 @@ def concat_with_pause(
     return np.concatenate(parts)
 
 
-def stretch_text_to_len(token_ids: list[int], target_len: int) -> list[int]:
-    """Repeat tokens so frame i carries token int(i·n/target) (F5-TTS style)."""
-    n = len(token_ids)
-    if n == 0:
-        return [-1] * target_len
-    if n >= target_len:
-        return token_ids[:target_len]
-    return [token_ids[i * n // target_len] for i in range(target_len)]
+
 
 
 class F5TTS:
@@ -137,7 +131,6 @@ class F5TTS:
                 n_mels=a.n_mels,
             ),
         )
-        self.cfm_infer = self.cfm
         self.variables: dict[str, Any] | None = None
         self._vocoder = None  # (module, variables) or "griffin_lim"
         self._sample_cache: dict[tuple, Any] = {}
@@ -403,7 +396,7 @@ class F5TTS:
         fn = self._sample_cache.get(key)
         if fn is None:
             def run(variables, cond, text_ids, duration, lens, noise):
-                out, _ = self.cfm_infer.sample(
+                out, _ = self.cfm.sample(
                     variables, cond, text_ids, duration, lens,
                     steps=steps, cfg_strength=cfg_strength,
                     sway_sampling_coef=sway, noise=noise,

@@ -137,7 +137,11 @@ class GRN(nn.Module):
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         gamma = self.param("gamma", nn.initializers.zeros, (1, 1, self.dim))
         beta = self.param("beta", nn.initializers.zeros, (1, 1, self.dim))
-        gx = jnp.sqrt(jnp.sum(jnp.square(x), axis=1, keepdims=True))
+        # safe L2 norm: jnp.sqrt has an inf gradient at exactly 0 (torch
+        # subgradients it to 0), and batch-padded all-zero rows would
+        # poison every weight gradient with 0·inf = NaN
+        sumsq = jnp.sum(jnp.square(x), axis=1, keepdims=True)
+        gx = jnp.sqrt(jnp.maximum(sumsq, 1e-24))
         nx = gx / (jnp.mean(gx, axis=-1, keepdims=True) + 1e-6)
         return gamma.astype(x.dtype) * (x * nx) + beta.astype(x.dtype) + x
 

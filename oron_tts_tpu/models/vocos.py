@@ -82,10 +82,11 @@ class VocosDecoder(nn.Module):
 
         if self.head_mode == "mag_phase":
             mag, phase = out[..., :n_bins], out[..., n_bins:]
-            mag = jnp.exp(jnp.clip(mag, max=6.907755))  # official Vocos clip (1e2... safety)
+            mag = jnp.exp(jnp.clip(mag, max=4.605170185988091))  # official Vocos clips magnitude at 1e2
             re = (mag * jnp.cos(phase)).swapaxes(-1, -2)  # [B, F, T]
             im = (mag * jnp.sin(phase)).swapaxes(-1, -2)
-            return istft_real(re, im, self.n_fft, self.hop_length, normalized=False)
+            return istft_real(re, im, self.n_fft, self.hop_length,
+                              normalized=False, padding="same")
         # reference stub: interleaved real/imag per bin, normalized ISTFT
         ri = out.reshape(*out.shape[:-1], n_bins, 2)
         re = ri[..., 0].swapaxes(-1, -2)

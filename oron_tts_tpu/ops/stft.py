@@ -36,12 +36,16 @@ def istft_real(
     center: bool = True,
     length: int | None = None,
     eps: float = 1e-11,
+    padding: str = "center",
 ) -> jnp.ndarray:
     """Overlap-add inverse STFT from (Re, Im) parts.
 
     Args:
         re, im: [..., n_freqs, n_frames] onesided spectrum components.
         length: output length; defaults to the torch.istft convention.
+        padding: "center" trims n_fft//2 per side (torch.istft); "same"
+            trims (n_fft-hop)//2 per side so T frames → T·hop samples
+            (official Vocos ISTFTHead convention).
 
     Returns:
         waveform [..., length]
@@ -68,7 +72,10 @@ def istft_real(
     wsq = wsq.at[idx].add(jnp.tile(window * window, n_frames))
     wav = wav / jnp.maximum(wsq, eps)
 
-    if center:
+    if padding == "same":
+        pad = (n_fft - hop_length) // 2
+        wav = wav[..., pad: out_len - pad]
+    elif center:
         pad = n_fft // 2
         wav = wav[..., pad: out_len - pad]
     if length is not None:

@@ -72,7 +72,7 @@ def save_pytree_npz(path: str | Path, trees: Mapping[str, Any],
         flat["__meta__"] = np.frombuffer(
             json.dumps(dict(meta)).encode(), dtype=np.uint8
         )
-    tmp = Path(str(path) + ".tmp.npz")
+    tmp = Path(path).with_name(".tmp-" + Path(path).name)
     np.savez(tmp, **flat)
     tmp.replace(path)
 
@@ -179,18 +179,19 @@ class CheckpointManager:
             return json.loads(self.config_path().read_text())
         return None
 
+    def _step_checkpoints(self) -> list[Path]:
+        out = []
+        for p in self.checkpoint_dir.glob(f"{self.model_name}_step_*.npz"):
+            if _is_step_checkpoint(p.name, self.model_name):
+                out.append(p)
+        return sorted(out, key=lambda p: int(p.stem.rsplit("_", 1)[-1]))
+
     def latest_checkpoint(self) -> Path | None:
-        ckpts = sorted(
-            self.checkpoint_dir.glob(f"{self.model_name}_step_*.npz"),
-            key=lambda p: int(p.stem.rsplit("_", 1)[-1]),
-        )
+        ckpts = self._step_checkpoints()
         return ckpts[-1] if ckpts else None
 
     def _rotate(self) -> None:
-        ckpts = sorted(
-            self.checkpoint_dir.glob(f"{self.model_name}_step_*.npz"),
-            key=lambda p: int(p.stem.rsplit("_", 1)[-1]),
-        )
+        ckpts = self._step_checkpoints()
         while len(ckpts) > self.max_checkpoints:
             ckpts[0].unlink()
             ckpts.pop(0)

@@ -238,19 +238,7 @@ class F5Trainer:
             step=jnp.asarray(0, jnp.int32),
             ema_updates=jnp.asarray(0, jnp.int32),
         )
-        if self.mesh is not None:
-            from oron_tts_tpu.parallel.mesh import param_shardings, replicated
-
-            shardings = TrainState(
-                params=param_shardings(self.mesh, params),
-                opt_state=jax.tree_util.tree_map(
-                    lambda _: replicated(self.mesh), self.state.opt_state,
-                ),
-                ema_params=param_shardings(self.mesh, params),
-                step=replicated(self.mesh),
-                ema_updates=replicated(self.mesh),
-            )
-            self.state = jax.device_put(self.state, shardings)
+        self.state = self._apply_mesh(self.state)
 
         self._train_step = make_train_step(model.cfm, self.tx, self.ema_decay)
         self._eval_step = make_eval_step(model.cfm)
@@ -269,6 +257,27 @@ class F5Trainer:
         )
         self.logger = self._setup_logger()
         self.writer = self._setup_tensorboard()
+
+    def _apply_mesh(self, state: TrainState) -> TrainState:
+        """Place a TrainState per the mesh sharding rules (no-op without mesh).
+
+        Used both at construction and after checkpoint resume so resumed runs
+        keep the exact same TP/DP placement as fresh starts.
+        """
+        if self.mesh is None:
+            return state
+        from oron_tts_tpu.parallel.mesh import param_shardings, replicated
+
+        shardings = TrainState(
+            params=param_shardings(self.mesh, state.params),
+            opt_state=jax.tree_util.tree_map(
+                lambda _: replicated(self.mesh), state.opt_state,
+            ),
+            ema_params=param_shardings(self.mesh, state.params),
+            step=replicated(self.mesh),
+            ema_updates=replicated(self.mesh),
+        )
+        return jax.device_put(state, shardings)
 
     # ── infra ────────────────────────────────────────────────────────────
 
@@ -578,14 +587,14 @@ class F5Trainer:
         else:
             opt_state = self.tx.init(params)
         ema = info.get("ema") if info.get("ema") is not None else params
-        self.state = TrainState(
+        self.state = self._apply_mesh(TrainState(
             params=params,
             opt_state=opt_state,
             ema_params=ema,
             step=jnp.asarray(self.global_step, jnp.int32),
             ema_updates=jnp.asarray(self.global_step, jnp.int32),
-        )
-        self.model.variables = {"params": params}
+        ))
+        self.model.variables = {"params": self.state.params}
         self.logger.info(
             "Resumed from step %d (epoch %d)", self.global_step, self.epoch
         )

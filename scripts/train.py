@@ -179,6 +179,11 @@ def main() -> None:
     batch_size = config.get("batch_size", 16)
     batch_size_type = config.get("batch_size_type", "sample")
     num_workers = config.get("num_workers", 4)
+    # batch-axis padding: frame-budget batches have variable row counts, so
+    # bucket them (fewer recompiles) and keep them divisible by the data
+    # mesh axis (sharding requirement); finalized once the mesh is known
+    dp_size = 1
+    batch_multiple = config.get("batch_pad_multiple", 0)
     collator = TTSCollator(pad_to_multiple=config.get("pad_to_multiple", 64))
 
     if batch_size_type == "frame" and train_subset.durations:
@@ -228,6 +233,15 @@ def main() -> None:
         else:
             mesh = make_mesh(n_dev, 1)
         print(f"Device mesh: {mesh.shape}")
+        dp_size = dict(mesh.shape).get("data", 1)
+
+    if not batch_multiple:
+        # dynamic frame batching → bucket to 8; always divisible by dp
+        import math as _math
+
+        base = 8 if batch_size_type == "frame" else 1
+        batch_multiple = _math.lcm(base, dp_size)
+    collator.pad_batch_to_multiple = max(1, batch_multiple)
 
     if args.pretrain_ckpt:
         path = Path(args.pretrain_ckpt)
