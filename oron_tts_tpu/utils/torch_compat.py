@@ -180,3 +180,83 @@ def load_torch_checkpoint(path: str) -> dict[str, Any]:
                 ckpt = ckpt[key]
                 break
     return {k: _np(v) for k, v in ckpt.items()}
+
+
+# ── reverse direction: flax params → reference torch state dict ─────────
+
+
+def _t_linear(sd: dict[str, np.ndarray], key: str, p: Mapping[str, Any]) -> None:
+    sd[f"{key}.weight"] = np.asarray(p["kernel"]).T
+    sd[f"{key}.bias"] = np.asarray(p["bias"])
+
+
+def _t_conv1d(sd: dict[str, np.ndarray], key: str, p: Mapping[str, Any]) -> None:
+    sd[f"{key}.weight"] = np.asarray(p["kernel"]).transpose(2, 1, 0)
+    sd[f"{key}.bias"] = np.asarray(p["bias"])
+
+
+def _t_layernorm(sd: dict[str, np.ndarray], key: str, p: Mapping[str, Any]) -> None:
+    sd[f"{key}.weight"] = np.asarray(p["scale"])
+    sd[f"{key}.bias"] = np.asarray(p["bias"])
+
+
+def _t_convnext(sd: dict[str, np.ndarray], key: str, p: Mapping[str, Any]) -> None:
+    _t_conv1d(sd, f"{key}.dwconv", p["dwconv"])
+    _t_layernorm(sd, f"{key}.norm", p["norm"])
+    _t_linear(sd, f"{key}.pwconv1", p["pwconv1"])
+    sd[f"{key}.grn.gamma"] = np.asarray(p["grn"]["gamma"])
+    sd[f"{key}.grn.beta"] = np.asarray(p["grn"]["beta"])
+    _t_linear(sd, f"{key}.pwconv2", p["pwconv2"])
+
+
+def export_dit_state_dict(params: Mapping[str, Any]) -> dict[str, np.ndarray]:
+    """flax DiT params → reference torch DiT state_dict (numpy values).
+
+    Exact inverse of convert_dit_state_dict: checkpoints trained here load
+    into the PyTorch reference (strict=True modulo RoPE's inv_freq buffer,
+    which torch re-derives from config).
+    """
+    sd: dict[str, np.ndarray] = {}
+    _t_linear(sd, "time_embed.time_mlp.0", params["time_embed"]["mlp_in"])
+    _t_linear(sd, "time_embed.time_mlp.2", params["time_embed"]["mlp_out"])
+
+    te = params["text_embed"]
+    sd["text_embed.text_embed.weight"] = np.asarray(te["embed"]["embedding"])
+    conv_layers = sum(1 for k in te if k.startswith("block"))
+    for i in range(conv_layers):
+        _t_convnext(sd, f"text_embed.text_blocks.{i}", te[f"block{i}"])
+
+    _t_linear(sd, "input_embed.proj", params["input_embed"]["proj"])
+    cpe = params["input_embed"]["conv_pos_embed"]
+    _t_conv1d(sd, "input_embed.conv_pos_embed.conv1d.0", cpe["conv1"])
+    _t_conv1d(sd, "input_embed.conv_pos_embed.conv1d.2", cpe["conv2"])
+
+    depth = sum(1 for k in params if k.startswith("block"))
+    for i in range(depth):
+        blk = params[f"block{i}"]
+        base = f"transformer_blocks.{i}"
+        _t_linear(sd, f"{base}.attn_norm.linear", blk["attn_norm"]["linear"])
+        for proj in ("q", "k", "v"):
+            _t_linear(sd, f"{base}.attn.to_{proj}", blk["attn"][f"to_{proj}"])
+        _t_linear(sd, f"{base}.attn.to_out.0", blk["attn"]["to_out"])
+        _t_linear(sd, f"{base}.ff.ff.0", blk["ff"]["in_proj"])
+        _t_linear(sd, f"{base}.ff.ff.3", blk["ff"]["out_proj"])
+
+    _t_linear(sd, "norm_out.linear", params["norm_out"]["linear"])
+    _t_linear(sd, "proj_out", params["proj_out"])
+    return sd
+
+
+def export_f5tts_state_dict(params: Mapping[str, Any]) -> dict[str, np.ndarray]:
+    """flax DiT params → reference F5TTS-level keys (cfm.backbone.*)."""
+    return {
+        f"cfm.backbone.{k}": v for k, v in export_dit_state_dict(params).items()
+    }
+
+
+def save_safetensors(state_dict: Mapping[str, np.ndarray], path: str) -> None:
+    from safetensors.numpy import save_file
+
+    save_file(
+        {k: np.ascontiguousarray(v) for k, v in state_dict.items()}, path
+    )

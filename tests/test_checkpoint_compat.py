@@ -94,3 +94,53 @@ def test_roundtrip_reference_checkpoint_into_jax(tmp_path):
         JaxDiT(**tiny).apply({"params": params}, x, x, text, t)
     )
     np.testing.assert_allclose(ours, ref_out, atol=2e-4, rtol=1e-3)
+
+
+def test_export_roundtrip_into_torch_reference():
+    """flax params → torch state dict → reference model → same output."""
+    from tests.conftest import add_reference_to_path, reference_available
+
+    if not reference_available():
+        pytest.skip("no reference")
+    add_reference_to_path()
+    import jax
+
+    from src.models.dit import DiT as TorchDiT
+
+    from oron_tts_tpu.models.dit import DiT as JaxDiT
+    from oron_tts_tpu.utils.torch_compat import export_dit_state_dict
+
+    tiny = dict(dim=32, depth=2, heads=2, dim_head=16, ff_mult=2, dropout=0.0,
+                mel_dim=8, vocab_size=65, text_dim=16, conv_layers=1)
+    jmodel = JaxDiT(**tiny)
+    rng = np.random.default_rng(7)
+    x = rng.standard_normal((2, 24, 8)).astype(np.float32)
+    text = rng.integers(-1, 65, (2, 24)).astype(np.int64)
+    t = np.array([0.3, 0.8], np.float32)
+    variables = jmodel.init(
+        jax.random.PRNGKey(3), x, x, text.astype(np.int32), t
+    )
+    # randomize the zero-init outputs so the comparison is nontrivial
+    variables = jax.tree_util.tree_map(
+        lambda a: np.asarray(a) + 0.01 * rng.standard_normal(a.shape).astype(
+            np.asarray(a).dtype
+        ),
+        variables,
+    )
+    jax_out = np.asarray(
+        jmodel.apply(variables, x, x, text.astype(np.int32), t)
+    )
+
+    sd = export_dit_state_dict(variables["params"])
+    ref = TorchDiT(**tiny)
+    tensors = {k: torch.from_numpy(np.ascontiguousarray(v)) for k, v in sd.items()}
+    missing, unexpected = ref.load_state_dict(tensors, strict=False)
+    assert not unexpected
+    assert all("inv_freq" in k for k in missing)  # torch-side derived buffer
+    ref.eval()
+    with torch.no_grad():
+        torch_out = ref(
+            x=torch.from_numpy(x), cond=torch.from_numpy(x),
+            text=torch.from_numpy(text), time=torch.from_numpy(t),
+        ).numpy()
+    np.testing.assert_allclose(jax_out, torch_out, atol=2e-4, rtol=1e-3)
