@@ -97,6 +97,7 @@ class TTSDataset:
         audio_arrays: list[np.ndarray] | None = None,
         audio_bytes_list: list[bytes] | None = None,
         attr_tokens_list: list[list[str]] | None = None,
+        cache_items: int = 10000,
     ) -> None:
         if audio_paths is not None:
             self.audio_paths: list[Path] | None = [Path(p) for p in audio_paths]
@@ -135,6 +136,12 @@ class TTSDataset:
         self.mel_config = MelConfig(sample_rate=sample_rate, n_mels=n_mels)
         self.text_cleaner = TextCleaner()
         self.durations: list[float] = []
+        # item cache: decode + mel extraction dominates epoch host time and
+        # is deterministic per index, so epochs past the first read from RAM
+        # (~1.6 MB per 10 s clip; cap bounds the footprint)
+        self._cache_items = max(0, cache_items)
+        self._cache: dict[int, dict[str, Any]] = {}
+        self._cache_lock = __import__("threading").Lock()
 
     def __len__(self) -> int:
         return self._len
@@ -168,6 +175,17 @@ class TTSDataset:
         return samples.astype(np.float32)
 
     def __getitem__(self, idx: int) -> dict[str, Any]:
+        with self._cache_lock:
+            cached = self._cache.get(idx)
+        if cached is not None:
+            return cached
+        item = self._build_item(idx)
+        if len(self._cache) < self._cache_items:
+            with self._cache_lock:
+                self._cache[idx] = item
+        return item
+
+    def _build_item(self, idx: int) -> dict[str, Any]:
         text = self.texts[idx]
         lang = self.langs[idx]
         audio = wavio.normalize_peak(self._load_audio(idx))
