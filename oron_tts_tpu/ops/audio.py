@@ -9,6 +9,7 @@ from __future__ import annotations
 
 from pathlib import Path
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -80,6 +81,10 @@ class AudioProcessor:
         arr = jnp.asarray(audio, dtype=jnp.float32)
         if arr.ndim == 2 and arr.shape[0] == 1:
             arr = arr[0]
+        if arr.ndim == 1 and jax.default_backend() == "tpu":
+            from oron_tts_tpu.ops.pallas_mel import log_mel_pallas
+
+            return log_mel_pallas(arr, self.mel_config)
         return log_mel_spectrogram_jit(arr, self.mel_config)
 
     def get_audio_duration(self, audio: np.ndarray) -> float:
