@@ -56,7 +56,7 @@ def main() -> None:
     # 120-char chunk → chars*13 ≈ 1560 frames, bucketed to 1664
     n_steps, cfg_strength, sway = 32, 2.0, -1.0
     t_total = 120 * 13
-    bucket = -(-t_total // 128) * 128
+    bucket = -(-t_total // 64) * 64
     audio_seconds = t_total * 256 / 24000
 
     rng = jax.random.PRNGKey(0)

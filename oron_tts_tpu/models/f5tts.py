@@ -96,7 +96,7 @@ class F5TTS:
     """Model bundle: DiT backbone + CFM + audio frontend + vocoder."""
 
     def __init__(self, config: F5Config, dtype: Any = jnp.float32,
-                 use_flash: bool | None = None, pad_to_multiple: int = 128) -> None:
+                 use_flash: bool | None = None, pad_to_multiple: int = 64) -> None:
         self.config = config
         m, a = config.model, config.audio
         self.n_mels = a.n_mels
