@@ -162,10 +162,11 @@ def merge_compatible(
     return merged, skipped
 
 
-def load_torch_checkpoint(path: str) -> dict[str, Any]:
+def load_torch_checkpoint(path: str, prefer_ema: bool = True) -> dict[str, Any]:
     """Read a reference ``.pt``/``.safetensors`` checkpoint into numpy arrays.
 
-    Prefers EMA weights like reference scripts/infer.py:20-24.
+    Prefers EMA weights like reference scripts/infer.py:20-24; pass
+    ``prefer_ema=False`` for the raw training weights (--no-ema).
     """
     if str(path).endswith(".safetensors"):
         from safetensors.numpy import load_file
@@ -175,7 +176,10 @@ def load_torch_checkpoint(path: str) -> dict[str, Any]:
 
     ckpt = torch.load(path, map_location="cpu", weights_only=False)
     if isinstance(ckpt, dict):
-        for key in ("ema_state_dict", "ema_model_state_dict", "model_state_dict"):
+        keys = ("ema_state_dict", "ema_model_state_dict", "model_state_dict")
+        if not prefer_ema:
+            keys = ("model_state_dict", "ema_state_dict", "ema_model_state_dict")
+        for key in keys:
             if key in ckpt:
                 ckpt = ckpt[key]
                 break

@@ -53,13 +53,13 @@ def load_model(checkpoint_path: str, use_ema: bool = True):
             load_torch_checkpoint,
         )
 
-        sd = load_torch_checkpoint(str(path))
+        sd = load_torch_checkpoint(str(path), prefer_ema=use_ema)
         params = convert_f5tts_state_dict(
             sd, depth=model.config.model.depth,
             conv_layers=model.config.model.conv_layers,
         )
         model.variables = {"params": params}
-        print("Loaded torch-format checkpoint (converted to JAX)")
+        print(f"Loaded torch-format checkpoint ({'EMA' if use_ema else 'raw'} weights, converted to JAX)")
     return model
 
 
@@ -115,6 +115,11 @@ def main() -> None:
 
     if (args.text is None) == (args.text_file is None):
         parser.error("provide exactly one of --text or --text-file")
+    if args.text_file and (args.ref_audio or args.ref_text or args.duration):
+        parser.error(
+            "--text-file is ref-free batch mode; --ref-audio/--ref-text/"
+            "--duration are per-utterance — use --text for those"
+        )
 
     model = load_model(args.checkpoint, use_ema=not args.no_ema)
     if args.vocoder:
@@ -127,12 +132,29 @@ def main() -> None:
             if line.strip()
         ]
         print(f"Batch synthesis: {len(texts)} utterances [{args.lang}]")
-        wavs = model.synthesize_batch(
-            texts, lang=args.lang, n_steps=args.steps,
-            cfg_strength=args.cfg_strength,
-            sway_sampling_coef=args.sway_sampling_coef,
-            speed=args.speed, seed=args.seed,
-        )
+        max_chars = args.max_chars_per_chunk or 0
+        if max_chars and any(len(t) > max_chars for t in texts):
+            # long lines need chunking, which the packed batch path skips —
+            # fall back to per-line synthesis (still one file per line)
+            print("[INFO] long lines present — synthesizing per line with chunking")
+            wavs = [
+                model.synthesize(
+                    text=line, lang=args.lang, n_steps=args.steps,
+                    cfg_strength=args.cfg_strength,
+                    sway_sampling_coef=args.sway_sampling_coef,
+                    speed=args.speed, max_chars_per_chunk=max_chars,
+                    pause_s=args.pause_ms / 1000,
+                    seed=None if args.seed is None else args.seed + i,
+                )
+                for i, line in enumerate(texts)
+            ]
+        else:
+            wavs = model.synthesize_batch(
+                texts, lang=args.lang, n_steps=args.steps,
+                cfg_strength=args.cfg_strength,
+                sway_sampling_coef=args.sway_sampling_coef,
+                speed=args.speed, seed=args.seed,
+            )
         out = Path(args.output)
         out.parent.mkdir(parents=True, exist_ok=True)
         for i, wav in enumerate(wavs):

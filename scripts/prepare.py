@@ -25,6 +25,7 @@ def process_dataset(
     text_column: str = "sentence",
     audio_column: str = "audio",
     sample_rate: int = 24000,
+    start_index: int = 0,
 ) -> list[dict]:
     import numpy as np
 
@@ -57,15 +58,11 @@ def process_dataset(
                 if path and Path(path).exists():
                     raw = Path(path).read_bytes()
             if raw:
+                # decode_audio_bytes already downmixes and resamples
                 audio = wavio.decode_audio_bytes(raw, sample_rate)
-                sr = sample_rate
             else:
                 skipped += 1
                 continue
-            if audio.ndim > 1:
-                audio = audio.mean(axis=1)
-            if sr != sample_rate:
-                audio = wavio.resample(audio, sr, sample_rate)
             if denoiser is not None:
                 audio = denoiser.denoise(audio, sample_rate)
             audio = wavio.normalize_peak(audio)
@@ -73,7 +70,7 @@ def process_dataset(
             if len(audio) < MIN_SAMPLES:
                 skipped += 1
                 continue
-            wav_path = out_dir / "wavs" / f"{len(metadata):06d}.wav"
+            wav_path = out_dir / "wavs" / f"{start_index + len(metadata):06d}.wav"
             wavio.write_wav(wav_path, audio, sample_rate)
             metadata.append({
                 "audio_path": str(wav_path),
@@ -131,6 +128,7 @@ def main() -> None:
             process_dataset(
                 ds, out_dir, args.lang,
                 denoise=not args.no_denoise, text_column=text_column,
+                start_index=len(all_meta),
             )
         )
     create_metadata(out_dir, all_meta)

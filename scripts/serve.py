@@ -57,14 +57,18 @@ class Handler(BaseHTTPRequestHandler):
             self._json(400, {"error": "invalid JSON body"})
             return
 
-        common = dict(
-            lang=req.get("lang", "mn"),
-            n_steps=int(req.get("steps", 32)),
-            cfg_strength=float(req.get("cfg_strength", 2.0)),
-            sway_sampling_coef=req.get("sway_sampling_coef", -1.0),
-            speed=float(req.get("speed", 1.0)),
-            seed=req.get("seed"),
-        )
+        try:
+            common = dict(
+                lang=req.get("lang", "mn"),
+                n_steps=int(req.get("steps", 32)),
+                cfg_strength=float(req.get("cfg_strength", 2.0)),
+                sway_sampling_coef=req.get("sway_sampling_coef", -1.0),
+                speed=float(req.get("speed", 1.0)),
+                seed=req.get("seed"),
+            )
+        except (TypeError, ValueError) as exc:
+            self._json(400, {"error": f"invalid parameter: {exc}"})
+            return
         try:
             if self.path == "/synthesize":
                 text = req.get("text")
@@ -84,7 +88,6 @@ class Handler(BaseHTTPRequestHandler):
                 if not texts or not isinstance(texts, list):
                     self._json(400, {"error": "missing 'texts' list"})
                     return
-                common.pop("sway_sampling_coef", None)
                 with _model_lock:
                     wavs = _model.synthesize_batch(texts, **common)
                 self._json(200, {
@@ -133,8 +136,10 @@ def main() -> None:
         _model.load_vocoder(args.vocoder)
     _meta["params"] = _model.num_params()
     if args.warmup:
-        print("[serve] warmup synthesis (compiles the default bucket)...")
-        _model.synthesize("Сайн байна уу", n_steps=2, target_duration_s=1.0)
+        # warm the cache entry real requests will hit: default steps=32 on
+        # the full 120-char chunk bucket (the sampler cache keys on both)
+        print("[serve] warmup synthesis (compiles the default request shape)...")
+        _model.synthesize("а" * 120, n_steps=32)
         print("[serve] warmup done")
 
     server = ThreadingHTTPServer((args.host, args.port), Handler)

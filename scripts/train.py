@@ -156,8 +156,13 @@ def main() -> None:
     val_idx = set(perm[:val_size].tolist()) if val_size >= 2 else set()
     train_idx = [i for i in range(n) if i not in val_idx]
     if jax.process_count() > 1:
-        # per-host shard of the training samples (DistributedSampler analogue)
-        train_idx = train_idx[jax.process_index():: jax.process_count()]
+        # per-host shard (DistributedSampler analogue): pad by wrap-around so
+        # every host gets the SAME count — uneven shards would give hosts
+        # different batch counts and deadlock the global-batch collectives
+        pc = jax.process_count()
+        if len(train_idx) % pc:
+            train_idx = train_idx + train_idx[: pc - len(train_idx) % pc]
+        train_idx = train_idx[jax.process_index():: pc]
 
     class _Subset:
         def __init__(self, base, indices):
@@ -186,7 +191,13 @@ def main() -> None:
     batch_multiple = config.get("batch_pad_multiple", 0)
     collator = TTSCollator(pad_to_multiple=config.get("pad_to_multiple", 64))
 
-    if batch_size_type == "frame" and train_subset.durations:
+    if jax.process_count() > 1:
+        # multi-host: frame-budget packing would give hosts different batch
+        # counts (collective deadlock); use fixed-size batches like the
+        # reference's multi-GPU path (train.py:141-154 uses a plain
+        # DistributedSampler there too)
+        sampler = FixedBatchSampler(len(train_subset), batch_size)
+    elif batch_size_type == "frame" and train_subset.durations:
         sampler = DynamicBatchSampler(
             durations=train_subset.durations,
             frames_threshold=config.get("frames_threshold", 6000),
@@ -199,7 +210,6 @@ def main() -> None:
     train_loader = DataLoader(
         train_subset, sampler, collator, num_workers=num_workers
     )
-    train_loader.dataset = train_subset
     val_loader = None
     if val_subset is not None:
         val_loader = DataLoader(
@@ -209,7 +219,6 @@ def main() -> None:
             collator,
             num_workers=max(num_workers // 2, 1),
         )
-        val_loader.dataset = val_subset
 
     f5cfg = F5Config.from_dict(config)
     dtype = (

@@ -87,6 +87,14 @@ def main() -> None:
         info = cm.load()
         if info.get("params") is not None:
             params = info["params"]
+            if info.get("opt") is not None:
+                # restore Adam moments + schedule position (the adamw count
+                # drives the cosine schedule) — without this a resume would
+                # retrain at peak LR with zeroed moments
+                opt_state = jax.tree_util.tree_unflatten(
+                    jax.tree_util.tree_structure(opt_state),
+                    jax.tree_util.tree_leaves(info["opt"]),
+                )
             start_step = int(info.get("step", 0))
             print(f"Resumed from step {start_step}")
 
@@ -138,7 +146,7 @@ def main() -> None:
                   f"gnorm={float(gnorm):.3f}{extra} | {rate:.1f} it/s",
                   flush=True)
         if (step + 1) % args.save_interval == 0 or step + 1 == args.steps:
-            cm.save(step + 1, params, loss=float(loss),
+            cm.save(step + 1, params, opt_state=opt_state, loss=float(loss),
                     config={"dim": args.dim, "n_layers": args.n_layers,
                             "intermediate_dim": args.dim * 3,
                             "head_mode": "real_imag"})
