@@ -30,12 +30,19 @@ def spectral_gate(
     sample_rate: int,
     n_fft: int = 2048,
     hop: int = 512,
-    noise_quantile: float = 0.10,
+    quiet_fraction: float = 0.15,
+    threshold_sigma: float = 1.5,
     reduction_db: float = 18.0,
     mask_smooth: int = 3,
 ) -> np.ndarray:
-    """Spectral-gating noise reduction (stationary-noise assumption)."""
-    if len(audio) < n_fft:
+    """Spectral-gating noise reduction (stationary-noise assumption).
+
+    The noise profile comes from the *quietest frames by total energy*
+    (the noisereduce recipe) — a per-band quantile over all frames would
+    misclassify any stationary signal component (sustained vowels, tones)
+    as noise and gate it out.
+    """
+    if len(audio) < 2 * n_fft:
         return audio
     window = np.hanning(n_fft + 1)[:-1].astype(np.float32)
     n_frames = 1 + (len(audio) - n_fft) // hop
@@ -44,11 +51,17 @@ def spectral_gate(
     spec = np.fft.rfft(frames, axis=-1)  # [T, F]
     mag = np.abs(spec)
 
-    # noise floor: per-band quantile over the quietest frames
-    floor = np.quantile(mag, noise_quantile, axis=0, keepdims=True)
+    energy = mag.sum(axis=-1)
+    n_quiet = max(2, int(n_frames * quiet_fraction))
+    quiet = mag[np.argsort(energy)[:n_quiet]]
+    noise_mean = quiet.mean(axis=0, keepdims=True)
+    noise_std = quiet.std(axis=0, keepdims=True)
+    threshold = noise_mean + threshold_sigma * noise_std
+
     gain_floor = 10.0 ** (-reduction_db / 20.0)
-    snr = mag / np.maximum(floor * 2.0, 1e-10)
-    mask = np.clip((snr - 1.0) / 3.0, 0.0, 1.0)
+    mask = np.clip(
+        (mag - threshold) / np.maximum(threshold, 1e-10), 0.0, 1.0
+    )
     if mask_smooth > 1:
         kernel = np.ones(mask_smooth) / mask_smooth
         mask = np.apply_along_axis(
@@ -63,7 +76,11 @@ def spectral_gate(
     flat_idx = idx.reshape(-1)
     np.add.at(out, flat_idx, out_frames.reshape(-1))
     np.add.at(norm, flat_idx, np.tile(window * window, n_frames))
-    out = out / np.maximum(norm, 1e-8)
+    # edges/tail with near-zero window coverage can't be reconstructed —
+    # keep the input there instead of amplifying numerical garbage
+    good = norm > 0.1
+    out[good] = out[good] / norm[good]
+    out[~good] = audio[~good]
     return out.astype(np.float32)
 
 
