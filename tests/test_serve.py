@@ -1,0 +1,92 @@
+"""HTTP serving layer: real requests against an in-process server."""
+
+import base64
+import json
+import threading
+import urllib.error
+import urllib.request
+from http.server import ThreadingHTTPServer
+
+import numpy as np
+import pytest
+
+import scripts.serve as serve
+from oron_tts_tpu.config import F5Config
+from oron_tts_tpu.models.f5tts import F5TTS
+
+TINY_CFG = {
+    "sample_rate": 24000, "n_mels": 100,
+    "model": {"vocab_size": 65, "dim": 64, "depth": 1, "heads": 2,
+              "ff_mult": 2, "text_dim": 32, "conv_layers": 1,
+              "p_dropout": 0.0},
+}
+
+
+@pytest.fixture(scope="module")
+def server_port():
+    model = F5TTS.from_config(F5Config.from_dict(TINY_CFG))
+    model.init_params(0)
+    serve._model = model
+    serve._meta["params"] = model.num_params()
+    httpd = ThreadingHTTPServer(("127.0.0.1", 0), serve.Handler)
+    thread = threading.Thread(target=httpd.serve_forever, daemon=True)
+    thread.start()
+    yield httpd.server_address[1]
+    httpd.shutdown()
+
+
+def _post(port, path, payload):
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{port}{path}",
+        data=json.dumps(payload).encode(),
+        method="POST",
+    )
+    try:
+        with urllib.request.urlopen(req, timeout=300) as resp:
+            return resp.status, resp.headers.get("Content-Type"), resp.read()
+    except urllib.error.HTTPError as exc:
+        return exc.code, exc.headers.get("Content-Type"), exc.read()
+
+
+def test_healthz(server_port):
+    with urllib.request.urlopen(
+        f"http://127.0.0.1:{server_port}/healthz", timeout=30
+    ) as resp:
+        body = json.loads(resp.read())
+    assert body["status"] == "ok"
+    assert body["params"] > 0
+
+
+def test_synthesize_returns_wav(server_port):
+    status, ctype, body = _post(
+        server_port, "/synthesize", {"text": "сайн", "steps": 1, "seed": 0}
+    )
+    assert status == 200 and ctype == "audio/wav"
+    assert body[:4] == b"RIFF"
+    from oron_tts_tpu.data.wav import read_wav_bytes
+
+    wav, sr = read_wav_bytes(body)
+    assert sr == 24000 and len(wav) > 0 and np.isfinite(wav).all()
+
+
+def test_synthesize_batch(server_port):
+    status, _, body = _post(
+        server_port, "/synthesize_batch",
+        {"texts": ["нэг", "хоёр"], "steps": 1},
+    )
+    assert status == 200
+    payload = json.loads(body)
+    assert len(payload["wavs_base64"]) == 2
+    assert base64.b64decode(payload["wavs_base64"][0])[:4] == b"RIFF"
+
+
+def test_error_paths(server_port):
+    status, _, body = _post(server_port, "/synthesize", {})
+    assert status == 400 and b"missing 'text'" in body
+    status, _, body = _post(server_port, "/synthesize", {"text": "x", "steps": None})
+    assert status == 400 and b"invalid parameter" in body
+    status, _, body = _post(server_port, "/synthesize",
+                            {"text": "x", "lang": "en", "steps": 1})
+    assert status == 400 and "Unsupported language".encode() in body
+    status, _, _ = _post(server_port, "/nope", {})
+    assert status == 404
