@@ -190,7 +190,8 @@ def decode_audio_bytes(raw: bytes, target_sr: int) -> np.ndarray:
     try:
         samples, sr = read_wav_bytes(raw)
     except ValueError:
-        samples, sr = _decode_via_ffmpeg(raw)
+        # decode straight to the target rate — no second resample pass
+        samples, sr = _decode_via_ffmpeg(raw, target_sr)
     if samples.ndim > 1:
         samples = samples.mean(axis=1)
     if sr != target_sr:
@@ -198,17 +199,17 @@ def decode_audio_bytes(raw: bytes, target_sr: int) -> np.ndarray:
     return samples.astype(np.float32)
 
 
-def _decode_via_ffmpeg(raw: bytes) -> tuple[np.ndarray, int]:
+def _decode_via_ffmpeg(raw: bytes, target_sr: int = 48000) -> tuple[np.ndarray, int]:
     if shutil.which("ffmpeg") is None:
         raise ValueError("unsupported audio container and ffmpeg not available")
     proc = subprocess.run(
         ["ffmpeg", "-v", "quiet", "-i", "pipe:0", "-f", "f32le", "-ac", "1",
-         "-ar", "48000", "pipe:1"],
+         "-ar", str(target_sr), "pipe:1"],
         input=raw,
         stdout=subprocess.PIPE,
         check=True,
     )
-    return np.frombuffer(proc.stdout, dtype="<f4").copy(), 48000
+    return np.frombuffer(proc.stdout, dtype="<f4").copy(), target_sr
 
 
 def resample(audio: np.ndarray, orig_sr: int, target_sr: int) -> np.ndarray:

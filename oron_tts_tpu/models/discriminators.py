@@ -65,15 +65,11 @@ class ResolutionDiscriminator(nn.Module):
 
     @nn.compact
     def __call__(self, wav: jnp.ndarray) -> tuple[jnp.ndarray, list[jnp.ndarray]]:
-        B, T = wav.shape
-        pad = self.n_fft // 2
-        padded = jnp.pad(wav, ((0, 0), (pad, pad)), mode="reflect")
-        n_frames = 1 + T // self.hop
-        idx = (
-            jnp.arange(n_frames)[:, None] * self.hop + jnp.arange(self.n_fft)[None, :]
-        )
-        window = jnp.hanning(self.n_fft).astype(wav.dtype)
-        frames = padded[:, idx] * window
+        from oron_tts_tpu.ops.mel import frame_signal, hann_window
+
+        B = wav.shape[0]
+        window = jnp.asarray(hann_window(self.n_fft)).astype(wav.dtype)
+        frames = frame_signal(wav, self.n_fft, self.hop) * window
         re, im = rdft(frames, self.n_fft)
         mag = jnp.sqrt(re * re + im * im + 1e-9)  # [B, T', F]
         x = mag[..., None]

@@ -15,7 +15,12 @@ import jax.numpy as jnp
 import numpy as np
 
 from oron_tts_tpu.ops.dft import rdft
-from oron_tts_tpu.ops.mel import MelConfig, hann_window, mel_filterbank
+from oron_tts_tpu.ops.mel import (
+    MelConfig,
+    frame_signal,
+    hann_window,
+    mel_filterbank,
+)
 from oron_tts_tpu.ops.stft import istft_real
 
 
@@ -35,11 +40,7 @@ def mel_to_linear(log_mel: jnp.ndarray, cfg: MelConfig) -> jnp.ndarray:
 
 def _stft_re_im(audio: jnp.ndarray, cfg: MelConfig) -> tuple[jnp.ndarray, jnp.ndarray]:
     window = jnp.asarray(hann_window(cfg.win_length))
-    pad = cfg.n_fft // 2
-    padded = jnp.pad(audio, [(0, 0)] * (audio.ndim - 1) + [(pad, pad)], mode="reflect")
-    n_frames = 1 + audio.shape[-1] // cfg.hop_length
-    idx = jnp.arange(n_frames)[:, None] * cfg.hop_length + jnp.arange(cfg.n_fft)[None, :]
-    frames = padded[..., idx] * window
+    frames = frame_signal(audio, cfg.n_fft, cfg.hop_length) * window
     re, im = rdft(frames, cfg.n_fft)
     return re.swapaxes(-1, -2), im.swapaxes(-1, -2)  # [..., F, T]
 

@@ -73,6 +73,49 @@ def _global_norm(tree: Any) -> jnp.ndarray:
     return optax.global_norm(tree)
 
 
+def _guarded_update(
+    state: TrainState,
+    grads: Any,
+    tx: optax.GradientTransformation,
+    ema_decay: float,
+    extra_ok: jnp.ndarray | bool = True,
+) -> tuple[TrainState, jnp.ndarray, jnp.ndarray]:
+    """Apply optimizer + EMA with the non-finite skip guard.
+
+    Shared by the fused train step and the grad-accumulation apply step:
+    a non-finite grad norm (or caller-provided condition) freezes every
+    state field, mirroring the reference's skip-optimizer-step guard
+    (trainer.py:191-204). Returns (new_state, grad_norm, ok).
+    """
+    grad_norm = _global_norm(grads)
+    ok = jnp.isfinite(grad_norm) & jnp.asarray(extra_ok)
+
+    safe_grads = jax.tree_util.tree_map(
+        lambda g: jnp.where(ok, g, jnp.zeros_like(g)), grads
+    )
+    updates, new_opt = tx.update(safe_grads, state.opt_state, state.params)
+    new_params = optax.apply_updates(state.params, updates)
+
+    # torch_ema-style num-updates ramp: decay = min(d, (1+n)/(10+n))
+    n = state.ema_updates + 1
+    decay = jnp.minimum(ema_decay, (1.0 + n) / (10.0 + n))
+    new_ema = jax.tree_util.tree_map(
+        lambda e, p: decay * e + (1.0 - decay) * p, state.ema_params, new_params
+    )
+
+    def pick(new, old):
+        return jax.tree_util.tree_map(lambda a, b: jnp.where(ok, a, b), new, old)
+
+    new_state = TrainState(
+        params=pick(new_params, state.params),
+        opt_state=pick(new_opt, state.opt_state),
+        ema_params=pick(new_ema, state.ema_params),
+        step=state.step + jnp.where(ok, 1, 0),
+        ema_updates=state.ema_updates + jnp.where(ok, 1, 0),
+    )
+    return new_state, grad_norm, ok
+
+
 def make_train_step(cfm: Any, tx: optax.GradientTransformation, ema_decay: float):
     """Fused loss+grad+update+EMA step with non-finite skip guard."""
 
@@ -88,32 +131,8 @@ def make_train_step(cfm: Any, tx: optax.GradientTransformation, ema_decay: float
             )
 
         loss, grads = jax.value_and_grad(loss_fn)(state.params)
-        grad_norm = _global_norm(grads)
-        ok = jnp.isfinite(loss) & jnp.isfinite(grad_norm)
-
-        safe_grads = jax.tree_util.tree_map(
-            lambda g: jnp.where(ok, g, jnp.zeros_like(g)), grads
-        )
-        updates, new_opt = tx.update(safe_grads, state.opt_state, state.params)
-        new_params = optax.apply_updates(state.params, updates)
-
-        n = state.ema_updates + 1
-        decay = jnp.minimum(ema_decay, (1.0 + n) / (10.0 + n))
-        new_ema = jax.tree_util.tree_map(
-            lambda e, p: decay * e + (1.0 - decay) * p, state.ema_params, new_params
-        )
-
-        def pick(new, old):
-            return jax.tree_util.tree_map(
-                lambda a, b: jnp.where(ok, a, b), new, old
-            )
-
-        new_state = TrainState(
-            params=pick(new_params, state.params),
-            opt_state=pick(new_opt, state.opt_state),
-            ema_params=pick(new_ema, state.ema_params),
-            step=state.step + jnp.where(ok, 1, 0),
-            ema_updates=state.ema_updates + jnp.where(ok, 1, 0),
+        new_state, grad_norm, ok = _guarded_update(
+            state, grads, tx, ema_decay, extra_ok=jnp.isfinite(loss)
         )
         metrics = {"loss": loss, "grad_norm": grad_norm, "ok": ok}
         return new_state, metrics
@@ -151,34 +170,12 @@ def make_grad_step(cfm: Any):
 
 
 def make_apply_step(tx: optax.GradientTransformation, ema_decay: float):
+    """Scaled-gradient apply (end of a gradient-accumulation window)."""
+
     def fn(state: TrainState, grads: Any, scale: jnp.ndarray):
         grads = jax.tree_util.tree_map(lambda g: g * scale, grads)
-        grad_norm = _global_norm(grads)
-        ok = jnp.isfinite(grad_norm)
-        safe = jax.tree_util.tree_map(
-            lambda g: jnp.where(ok, g, jnp.zeros_like(g)), grads
-        )
-        updates, new_opt = tx.update(safe, state.opt_state, state.params)
-        new_params = optax.apply_updates(state.params, updates)
-        n = state.ema_updates + 1
-        decay = jnp.minimum(ema_decay, (1.0 + n) / (10.0 + n))
-        new_ema = jax.tree_util.tree_map(
-            lambda e, p: decay * e + (1.0 - decay) * p, state.ema_params, new_params
-        )
-
-        def pick(new, old):
-            return jax.tree_util.tree_map(lambda a, b: jnp.where(ok, a, b), new, old)
-
-        return (
-            TrainState(
-                params=pick(new_params, state.params),
-                opt_state=pick(new_opt, state.opt_state),
-                ema_params=pick(new_ema, state.ema_params),
-                step=state.step + jnp.where(ok, 1, 0),
-                ema_updates=state.ema_updates + jnp.where(ok, 1, 0),
-            ),
-            {"grad_norm": grad_norm, "ok": ok},
-        )
+        new_state, grad_norm, ok = _guarded_update(state, grads, tx, ema_decay)
+        return new_state, {"grad_norm": grad_norm, "ok": ok}
 
     return jax.jit(fn, donate_argnums=(0,))
 

@@ -20,17 +20,17 @@ import numpy as np
 import optax
 
 from oron_tts_tpu.ops.dft import rdft
-from oron_tts_tpu.ops.mel import MelConfig, hann_window, log_mel_spectrogram
+from oron_tts_tpu.ops.mel import (
+    MelConfig,
+    frame_signal,
+    hann_window,
+    log_mel_spectrogram,
+)
 
 
 def _stft_mag(x: jnp.ndarray, n_fft: int, hop: int) -> jnp.ndarray:
     """[B, L] → magnitude [B, T, n_freqs] (center=True, hann)."""
-    window = jnp.asarray(hann_window(n_fft))
-    pad = n_fft // 2
-    padded = jnp.pad(x, ((0, 0), (pad, pad)), mode="reflect")
-    n_frames = 1 + x.shape[-1] // hop
-    idx = jnp.arange(n_frames)[:, None] * hop + jnp.arange(n_fft)[None, :]
-    frames = padded[:, idx] * window
+    frames = frame_signal(x, n_fft, hop) * jnp.asarray(hann_window(n_fft))
     re, im = rdft(frames, n_fft)
     return jnp.sqrt(re * re + im * im + 1e-9)
 
