@@ -45,6 +45,33 @@ def span_mask_from_fracs(
     return (pos >= start[:, None]) & (pos < end[:, None])
 
 
+def per_sample_noise(
+    key: jax.Array, batch: int, length: int, n_mels: int, dtype=jnp.float32
+) -> jnp.ndarray:
+    """Initial ODE noise where element [i, t, :] depends only on
+    (key, row index i, frame index t).
+
+    This is batch-composition AND bucket-padding invariant: row i of a
+    batched synthesis equals the single-sample draw with the same seed,
+    regardless of what else shares the batch or how far the bucket pads.
+    Mirrors the intent of the reference's per-sample draws
+    (/root/reference/src/models/flow.py:269-283) with a stronger guarantee
+    (the reference's shared Generator still leaks batch order).
+    """
+
+    def row(i: jnp.ndarray) -> jnp.ndarray:
+        row_key = jax.random.fold_in(key, i)
+
+        def frame(t: jnp.ndarray) -> jnp.ndarray:
+            return jax.random.normal(
+                jax.random.fold_in(row_key, t), (n_mels,), dtype
+            )
+
+        return jax.vmap(frame)(jnp.arange(length))
+
+    return jax.vmap(row)(jnp.arange(batch))
+
+
 def sway_timesteps(steps: int, coef: float | None, dtype=jnp.float32) -> jnp.ndarray:
     """Uniform [0,1] grid of steps+1 points, optionally sway-warped."""
     t = jnp.linspace(0.0, 1.0, steps + 1, dtype=dtype)
@@ -182,11 +209,11 @@ class CFM:
         if max_dur > max_duration:
             raise ValueError(f"duration exceeds max_duration={max_duration}")
         # host-side validation when inputs are concrete (flow.py:191-230);
-        # traced inputs skip it (shapes are still statically bounded)
+        # only traced inputs skip it (shapes are still statically bounded)
         import numpy as _np
 
-        if isinstance(duration, (list, tuple)) or isinstance(
-            duration, _np.ndarray
+        if not isinstance(duration, jax.core.Tracer) and not isinstance(
+            lens, jax.core.Tracer
         ):
             d = _np.asarray(duration)
             ln = _np.asarray(lens)
@@ -216,7 +243,7 @@ class CFM:
                 key = jax.random.PRNGKey(seed)
             else:
                 key = seed
-            noise = jax.random.normal(key, (batch, max_dur, n_mels), dtype=cond.dtype)
+            noise = per_sample_noise(key, batch, max_dur, n_mels, cond.dtype)
         # padding region starts at zero like the reference's pad_sequence
         y0 = jnp.where(attn_mask[..., None], noise, 0.0)
 

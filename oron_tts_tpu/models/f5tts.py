@@ -378,12 +378,9 @@ class F5TTS:
         lens = np.zeros(batch, dtype=np.int32)
 
         key = jax.random.PRNGKey(0 if seed is None else seed)
-        noise = jax.random.normal(
-            key, (batch, bucket, self.n_mels), dtype=jnp.float32
-        )
         fn = self._sample_fn(bucket, n_steps, cfg_strength, sway_sampling_coef,
                              batch=batch)
-        mel_out = fn(self.variables, cond, text_arr, durations, lens, noise)
+        mel_out = fn(self.variables, cond, text_arr, durations, lens, key)
         wavs = []
         for i, tl in enumerate(target_lens):
             gen = jnp.swapaxes(mel_out[i: i + 1, :tl, :], 1, 2)
@@ -395,11 +392,14 @@ class F5TTS:
         key = (bucket_len, steps, cfg_strength, sway, batch)
         fn = self._sample_cache.get(key)
         if fn is None:
-            def run(variables, cond, text_ids, duration, lens, noise):
+            def run(variables, cond, text_ids, duration, lens, noise_key):
+                # noise is drawn inside the jit from a per-(row, frame) key
+                # fold so outputs are batch/bucket invariant (cfm.py
+                # per_sample_noise)
                 out, _ = self.cfm.sample(
                     variables, cond, text_ids, duration, lens,
                     steps=steps, cfg_strength=cfg_strength,
-                    sway_sampling_coef=sway, noise=noise,
+                    sway_sampling_coef=sway, seed=noise_key,
                 )
                 return out
             fn = jax.jit(run)
@@ -469,12 +469,11 @@ class F5TTS:
             cond[0, :ref_len] = ref_mel.T
 
         key = jax.random.PRNGKey(0 if seed is None else seed)
-        noise = jax.random.normal(key, (1, bucket, self.n_mels), dtype=jnp.float32)
 
         fn = self._sample_fn(bucket, n_steps, cfg_strength, sway)
         mel_out = fn(
             self.variables, cond, text_arr,
-            np.asarray([t_total]), np.asarray([ref_len]), noise,
+            np.asarray([t_total]), np.asarray([ref_len]), key,
         )
         gen = jnp.swapaxes(mel_out[:, ref_len:t_total, :], 1, 2)  # [1, M, T]
         return self._decode_mel(gen).astype(np.float32)

@@ -320,6 +320,65 @@ class F5Trainer:
 
         return shard_batch(self.mesh, batch)
 
+    def _drain_pending(
+        self,
+        pending: list[tuple[dict[str, Any], int, int]],
+        pbar: Any | None,
+    ) -> tuple[float, int]:
+        """Fetch a window of in-flight step metrics with ONE host sync.
+
+        TPU-first pipelining (VERDICT r1 #5): the fused train step is
+        dispatched without reading its outputs, keeping the device queue
+        full; metrics come back in batches here. Guards already acted
+        on-device (`_guarded_update` freezes state on a bad step), so the
+        host side only does bookkeeping: loss accounting, step counting,
+        TensorBoard scalars and skip warnings.
+        """
+        host = jax.device_get([m for m, _, _ in pending])
+        window_loss, window_updates = 0.0, 0
+        last_ok: tuple[float, float, float] | None = None
+        for m, (_, batch_size, mel_frames) in zip(host, pending):
+            loss = float(m["loss"])
+            grad_norm = float(m["grad_norm"])
+            ok = bool(m["ok"])
+            if not math.isfinite(loss):
+                self.logger.warning(
+                    "Skipping batch due to non-finite loss=%s", loss
+                )
+                continue
+            if not ok:
+                self.logger.warning(
+                    "Skipped optimizer step (non-finite grad_norm=%s)", grad_norm
+                )
+                continue
+            window_loss += loss
+            window_updates += 1
+            self.global_step += 1
+            lr = float(self.schedule(self.global_step))
+            last_ok = (loss, lr, grad_norm)
+            if self.writer:
+                self.writer.add_scalar("train/loss", loss, self.global_step)
+                self.writer.add_scalar("train/lr", lr, self.global_step)
+                self.writer.add_scalar("train/grad_norm", grad_norm, self.global_step)
+                self.writer.add_scalar("train/batch_size", batch_size, self.global_step)
+                self.writer.add_scalar("train/mel_frames", mel_frames, self.global_step)
+            log_interval = self.config.get("log_interval", 100)
+            if self.global_step % log_interval == 0 and not self.use_tqdm:
+                self.logger.info(
+                    f"Step {self.global_step} | loss={loss:.4f} | "
+                    f"lr={lr:.2e} | grad_norm={grad_norm:.4f} | B={batch_size}"
+                )
+        if self.writer:
+            mem = self._device_mem_gb()
+            if mem is not None:
+                self.writer.add_scalar("system/vram_gb", mem, self.global_step)
+        if pbar is not None and last_ok is not None:
+            loss, lr, grad_norm = last_ok
+            pbar.set_postfix(
+                loss=f"{loss:.4f}", lr=f"{lr:.1e}", gn=f"{grad_norm:.2f}"
+            )
+        return window_loss, window_updates
+
     def train_epoch(self, total_epochs: int) -> float:
         total_loss, n_updates = 0.0, 0
         epoch_start = time.monotonic()
@@ -338,39 +397,45 @@ class F5Trainer:
 
         accum_grads = None
         accum_losses: list[float] = []
+        # in-flight metrics window: bounds both host syncs (one per window)
+        # and the number of batches held alive by queued dispatches
+        pending: list[tuple[dict[str, Any], int, int]] = []
+        drain_every = max(1, self.config.get(
+            "metrics_drain_interval",
+            min(self.config.get("log_interval", 100), 16),
+        ))
 
         profile_at = self.config.get("profile_step")  # global step to trace
+        profiling = False
         for accum_step, batch in enumerate(iterator):
             if not np.isfinite(batch["mel"]).all():
                 self.logger.warning("Skipping batch due to non-finite mel values")
                 continue
-            if profile_at is not None and self.global_step == profile_at:
+            # >= not ==: global_step advances in windows under deferred
+            # metric draining, so exact values can be skipped over
+            if profile_at is not None and not profiling and self.global_step >= profile_at:
                 jax.profiler.start_trace(str(Path(self.log_dir) / "profile"))
-            elif profile_at is not None and self.global_step == profile_at + 3:
+                profiling = True
+            elif profiling and self.global_step >= profile_at + 3:
                 jax.profiler.stop_trace()
                 self.logger.info("Profiler trace written to %s/profile", self.log_dir)
-                profile_at = None
+                profile_at, profiling = None, False
             rng, step_rng = jax.random.split(rng)
             sharded = self._shard(batch)
             batch_size = int(batch["mel"].shape[0])
             mel_frames = int(batch["mel"].shape[2])
 
             if self.grad_accum == 1:
+                # dispatch without reading outputs — the read happens in
+                # windows via _drain_pending so the device pipeline stays full
                 self.state, metrics = self._train_step(self.state, sharded, step_rng)
-                loss = float(metrics["loss"])
-                grad_norm = float(metrics["grad_norm"])
-                ok = bool(metrics["ok"])
-                if not math.isfinite(loss):
-                    self.logger.warning(
-                        "Skipping batch due to non-finite loss=%s", loss
-                    )
-                    continue
-                if not ok:
-                    self.logger.warning(
-                        "Skipped optimizer step (non-finite grad_norm=%s)", grad_norm
-                    )
-                    continue
-                step_loss = loss
+                pending.append((metrics, batch_size, mel_frames))
+                if len(pending) >= drain_every:
+                    w_loss, w_updates = self._drain_pending(pending, pbar)
+                    total_loss += w_loss
+                    n_updates += w_updates
+                    pending = []
+                continue
             else:
                 loss, grads = self._grad_step(self.state.params, sharded, step_rng)
                 loss = float(loss)
@@ -428,6 +493,15 @@ class F5Trainer:
                 pbar.set_postfix(
                     loss=f"{step_loss:.4f}", lr=f"{lr:.1e}", gn=f"{grad_norm:.2f}"
                 )
+
+        if pending:
+            w_loss, w_updates = self._drain_pending(pending, pbar)
+            total_loss += w_loss
+            n_updates += w_updates
+            pending = []
+        if profiling:
+            jax.profiler.stop_trace()
+            self.logger.info("Profiler trace written to %s/profile", self.log_dir)
 
         # flush a partial accumulation window (reference trainer.py:319-327)
         if accum_grads is not None and accum_losses:
