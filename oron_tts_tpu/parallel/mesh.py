@@ -106,3 +106,21 @@ def shard_batch(mesh: Mesh, batch: dict[str, Any]) -> dict[str, Any]:
 def shard_dataset_indices(n: int) -> list[int]:
     """Per-host sample shard (replaces DistributedSampler's rank split)."""
     return list(range(jax.process_index(), n, jax.process_count()))
+
+
+def host_shard_wraparound(
+    indices: list[int], num_hosts: int, host_id: int
+) -> list[int]:
+    """Per-host index shard padded by wrap-around to EQUAL counts.
+
+    Uneven shards would give hosts different batch counts and deadlock the
+    global-batch collectives, so the tail is padded by repeating indices
+    from the front (DistributedSampler's drop_last=False analogue). Every
+    index appears on exactly one host (the wrap-around duplicates aside).
+    """
+    if num_hosts <= 1:
+        return list(indices)
+    padded = list(indices)
+    if len(padded) % num_hosts:
+        padded = padded + padded[: num_hosts - len(padded) % num_hosts]
+    return padded[host_id::num_hosts]

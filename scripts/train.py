@@ -156,13 +156,14 @@ def main() -> None:
     val_idx = set(perm[:val_size].tolist()) if val_size >= 2 else set()
     train_idx = [i for i in range(n) if i not in val_idx]
     if jax.process_count() > 1:
-        # per-host shard (DistributedSampler analogue): pad by wrap-around so
-        # every host gets the SAME count — uneven shards would give hosts
-        # different batch counts and deadlock the global-batch collectives
-        pc = jax.process_count()
-        if len(train_idx) % pc:
-            train_idx = train_idx + train_idx[: pc - len(train_idx) % pc]
-        train_idx = train_idx[jax.process_index():: pc]
+        # per-host shard (DistributedSampler analogue): wrap-around padding
+        # keeps batch counts equal across hosts (collective deadlock guard);
+        # val is host-sharded too so hosts don't redundantly re-evaluate it
+        from oron_tts_tpu.parallel.mesh import host_shard_wraparound
+
+        pc, pid = jax.process_count(), jax.process_index()
+        train_idx = host_shard_wraparound(train_idx, pc, pid)
+        val_idx = set(host_shard_wraparound(sorted(val_idx), pc, pid))
 
     class _Subset:
         def __init__(self, base, indices):
