@@ -1,14 +1,25 @@
-"""Benchmark: Base-config 32-NFE synthesis real-time factor on one TPU chip.
+"""Benchmark: Base-config synthesis RTF + train-step MFU on one TPU chip.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
-Baseline target (BASELINE.md): RTF < 0.05 per v5e chip for Base DiT
-(dim=1024, depth=22), 32 Euler steps with CFG (64 DiT forwards), 24 kHz
-output. vs_baseline = 0.05 / measured_rtf (>1 = beating the target).
+Prints ONE JSON line whose headline is the synthesis RTF
+({"metric", "value", "unit", "vs_baseline"}) with the training-step
+measurements as extra keys (train_step_ms, train_frames_per_s,
+train_audio_s_per_s, train_mfu, train_vs_ref).
+
+Baselines:
+- RTF target (BASELINE.md): < 0.05 per v5e chip for Base DiT (dim=1024,
+  depth=22), 32 Euler steps with CFG (64 DiT forwards), 24 kHz output.
+  vs_baseline = 0.05 / measured_rtf (>1 = beating the target).
+- Training: the reference's only figure is ~15 min/epoch for 3,846 MBSpeech
+  samples on an L40S (/root/reference/README.md:299) = 4.27 samples/s
+  ≈ 22.6 audio-seconds/s at the ~5.3 s mean clip length implied by the
+  companion common-voices set (7.53 h / 5,015 rows, README.md:259).
+  train_vs_ref = measured audio-s/s ÷ 22.6.
 
 The measured pipeline is the production path: stretched text ids → CFG
 Euler sampler (bf16 DiT, jitted, text embeddings hoisted) → Vocos decode →
-host transfer. Mel frames correspond to a full 120-char chunk
-(~1560 frames ≈ 16.6 s of audio).
+host transfer; the train step is the fused donated loss+grad+AdamW+EMA step
+at a production frame-budget bucket (B=24, T=2048 ≈ 49k frames, bf16,
+flash attention fwd+bwd, full per-block remat).
 """
 
 from __future__ import annotations
@@ -114,12 +125,130 @@ def main() -> None:
     )
     assert bool(np.isfinite(np.asarray(wav)).all()), "non-finite output"
 
+    train = bench_train_step(jax, jnp)
+
     print(json.dumps({
         "metric": "synthesis_rtf_base_32nfe",
         "value": round(rtf, 5),
         "unit": "rtf",
         "vs_baseline": round(TARGET_RTF / rtf, 3),
+        **train,
     }))
+
+
+def dit_train_flops(
+    B: int, T: int, dim: int = 1024, depth: int = 22, heads: int = 16,
+    dim_head: int = 64, ff_mult: int = 4, mel_dim: int = 100,
+    text_dim: int = 512, conv_layers: int = 4,
+) -> float:
+    """Analytic model FLOPs for one fwd+bwd (3x forward, matmul-dominated).
+
+    Counts only MXU work (matmuls/attention/convs); elementwise is free by
+    convention. Remat recompute is NOT counted (standard MFU definition).
+    """
+    bt = B * T
+    per_block = (
+        8 * bt * dim * dim                    # q,k,v,out projections
+        + 4 * B * heads * T * T * dim_head    # QK^T + PV
+        + 4 * bt * dim * dim * ff_mult        # FFN in+out
+        + 2 * B * dim * 6 * dim               # AdaLN modulation
+    )
+    text_embed = conv_layers * (
+        2 * bt * text_dim * 7                 # depthwise conv k=7
+        + 4 * bt * text_dim * 2 * text_dim    # pw1+pw2 (inter = 2*text_dim)
+    )
+    input_embed = (
+        2 * bt * (2 * mel_dim + text_dim) * dim   # concat projection
+        + 2 * (2 * bt * dim * (dim // 16) * 31)   # convpos k=31 groups=16
+    )
+    final = 2 * bt * dim * mel_dim + 2 * bt * dim * 2 * dim  # proj + AdaLN-f
+    fwd = depth * per_block + text_embed + input_embed + final
+    return 3.0 * fwd  # bwd = 2x fwd
+
+
+def bench_train_step(jax, jnp) -> dict:
+    """Fused Base-config train step at a production bucket; returns metrics."""
+    import numpy as np
+
+    from oron_tts_tpu.models.cfm import CFM, CFMConfig
+    from oron_tts_tpu.models.dit import DiT
+    from oron_tts_tpu.train.trainer import (
+        TrainState,
+        make_lr_schedule,
+        make_optimizer,
+        make_train_step,
+    )
+
+    B, T = 24, 2048
+    model = DiT(
+        dim=1024, depth=22, heads=16, dim_head=64, ff_mult=4, dropout=0.1,
+        mel_dim=100, vocab_size=65, text_dim=512, conv_layers=4,
+        dtype=jnp.bfloat16, use_flash=True, gradient_checkpointing=True,
+    )
+    cfm = CFM(model, CFMConfig())
+    rng = jax.random.PRNGKey(0)
+    k1, k2, k3 = jax.random.split(rng, 3)
+    x = jnp.zeros((1, T, 100), jnp.float32)
+    text1 = jnp.zeros((1, T), jnp.int32)
+    variables = model.init(k1, x, x, text1, jnp.zeros((1,)))
+
+    tx = make_optimizer(make_lr_schedule(1e-4, 1000, 100000))
+    params = variables["params"]
+    state = TrainState(
+        params=params,
+        opt_state=tx.init(params),
+        ema_params=jax.tree_util.tree_map(jnp.array, params),
+        step=jnp.asarray(0, jnp.int32),
+        ema_updates=jnp.asarray(0, jnp.int32),
+    )
+    n_params = sum(
+        np.prod(a.shape) for a in jax.tree_util.tree_leaves(params)
+    )
+
+    lens = np.full((B,), T, np.int32)
+    lens[B // 2:] = int(T * 0.83)
+    batch = {
+        "mel": jax.random.normal(k2, (B, 100, T), jnp.float32) * 0.5,
+        "text_ids": jax.random.randint(k3, (B, T), 0, 65, dtype=jnp.int32),
+        "mel_lengths": jnp.asarray(lens),
+    }
+    step = make_train_step(cfm, tx, ema_decay=0.9999)
+
+    t0 = time.perf_counter()
+    state, metrics = step(state, batch, k1)
+    loss0 = float(metrics["loss"])
+    compile_s = time.perf_counter() - t0
+    print(f"# train compile+first-step: {compile_s:.1f}s loss={loss0:.3f}",
+          file=sys.stderr)
+
+    iters = 8
+    t0 = time.perf_counter()
+    for i in range(iters):
+        state, metrics = step(state, batch, jax.random.fold_in(k1, i))
+    loss = float(metrics["loss"])  # forces completion (axon lazy exec)
+    step_s = (time.perf_counter() - t0) / iters
+    assert np.isfinite(loss), "non-finite train loss"
+
+    frames = B * T
+    frames_per_s = frames / step_s
+    audio_s_per_s = frames * 256 / 24000 / step_s
+    flops = dit_train_flops(B, T)
+    peak = float(__import__("os").environ.get("ORON_TPU_PEAK_TFLOPS", 197)) * 1e12
+    mfu = flops / step_s / peak
+    ref_audio_s_per_s = 22.6  # L40S, see module docstring
+    print(
+        f"# train: {step_s*1e3:.0f} ms/step {frames} frames "
+        f"({n_params/1e6:.0f}M params) -> {frames_per_s:,.0f} frames/s, "
+        f"{audio_s_per_s:.0f} audio-s/s, MFU {mfu*100:.1f}%",
+        file=sys.stderr,
+    )
+    return {
+        "train_step_ms": round(step_s * 1e3, 1),
+        "train_frames_per_s": round(frames_per_s),
+        "train_audio_s_per_s": round(audio_s_per_s, 1),
+        "train_mfu": round(mfu, 4),
+        "train_vs_ref": round(audio_s_per_s / ref_audio_s_per_s, 1),
+    }
 
 
 if __name__ == "__main__":

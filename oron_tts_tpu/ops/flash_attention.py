@@ -25,11 +25,12 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 NEG_INF = -1e30
+LOG2_E = 1.4426950408889634
 
 
 def _flash_kernel(
     lens_ref, q_ref, k_ref, v_ref, o_ref, *, block_k: int, sm_scale: float,
-    masked: bool,
+    masked: bool, use_exp2: bool = True,
 ):
     # keep matmul operands in the input dtype (bf16): the MXU runs bf16 at
     # 8x the f32 rate; accumulation stays f32 via preferred_element_type
@@ -39,6 +40,33 @@ def _flash_kernel(
     num_kv = t_kv // block_k
     kv_len = lens_ref[pl.program_id(0)]  # full lens array lives in SMEM
 
+    # exp(x) = exp2(x·log2e): folding log2e into sm_scale makes the
+    # transcendental a native pow2 (measurably cheaper on the VPU) at zero
+    # extra passes; the softmax value is unchanged
+    s_scale = sm_scale * LOG2_E if use_exp2 else sm_scale
+    exp_fn = jnp.exp2 if use_exp2 else jnp.exp
+
+    if num_kv == 1:
+        # single-KV-block fast path (the swept optimum streams the whole
+        # K/V per QK product): plain 2-pass softmax, no online rescaling
+        k = k_ref[0]
+        v = v_ref[0]
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * s_scale
+        if masked:
+            col = jax.lax.broadcasted_iota(jnp.int32, (block_q, t_kv), 1)
+            s = jnp.where(col < kv_len, s, NEG_INF)
+        m = jnp.max(s, axis=-1, keepdims=True)
+        p = exp_fn(s - m)
+        l = jnp.sum(p, axis=-1, keepdims=True)
+        acc = jax.lax.dot(
+            p.astype(v.dtype), v, preferred_element_type=jnp.float32
+        )
+        o_ref[0] = (acc / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
+        return
+
     def body(i, carry):
         m_prev, l_prev, acc = carry
         k = k_ref[0, pl.ds(i * block_k, block_k), :]
@@ -46,15 +74,15 @@ def _flash_kernel(
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
-        ) * sm_scale  # [block_q, block_k] f32
+        ) * s_scale  # [block_q, block_k] f32
         if masked:
             col = i * block_k + jax.lax.broadcasted_iota(
                 jnp.int32, (block_q, block_k), 1
             )
             s = jnp.where(col < kv_len, s, NEG_INF)
         m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))
-        p = jnp.exp(s - m_new)
-        alpha = jnp.exp(m_prev - m_new)
+        p = exp_fn(s - m_new)
+        alpha = exp_fn(m_prev - m_new)
         l_new = l_prev * alpha + jnp.sum(p, axis=-1, keepdims=True)
         acc = acc * alpha + jax.lax.dot(
             p.astype(v.dtype), v, preferred_element_type=jnp.float32
@@ -97,7 +125,9 @@ def _pick_blocks(T: int, block_q: int | None, block_k: int | None) -> tuple[int,
 
 
 @functools.partial(
-    jax.jit, static_argnames=("block_q", "block_k", "interpret")
+    jax.jit,
+    static_argnames=("block_q", "block_k", "interpret", "use_exp2",
+                     "dim_semantics"),
 )
 def flash_attention(
     q: jnp.ndarray,
@@ -108,6 +138,8 @@ def flash_attention(
     block_q: int | None = None,
     block_k: int | None = None,
     interpret: bool = False,
+    use_exp2: bool = True,
+    dim_semantics: tuple[str, str] | None = None,
 ) -> jnp.ndarray:
     """q, k, v: [B, H, T, D]. Padding via kv_lens [B] (or a prefix kv_mask
     [B, T], reduced to lengths). T must be a multiple of 8.
@@ -133,10 +165,16 @@ def flash_attention(
         kv_lens.astype(jnp.int32)[:, None], (B, H)
     ).reshape(bh)
 
+    compiler_params = None
+    if dim_semantics is not None:
+        compiler_params = pltpu.CompilerParams(
+            dimension_semantics=dim_semantics
+        )
     grid = (bh, T // block_q)
     out = pl.pallas_call(
         functools.partial(
-            _flash_kernel, block_k=block_k, sm_scale=sm_scale, masked=masked
+            _flash_kernel, block_k=block_k, sm_scale=sm_scale, masked=masked,
+            use_exp2=use_exp2,
         ),
         out_shape=jax.ShapeDtypeStruct((bh, T, D), q.dtype),
         grid=grid,
@@ -156,6 +194,7 @@ def flash_attention(
             bytes_accessed=3 * bh * T * D * 2,
             transcendentals=bh * T * T,
         ),
+        compiler_params=compiler_params,
         interpret=interpret,
     )(lens_f, qf, kf, vf)
     return out.reshape(B, H, T, D)
@@ -180,6 +219,9 @@ def _flash_bwd_kernel(
     kv_len = lens_ref[pl.program_id(0)]
     k_all = k_ref[0]
     v_all = v_ref[0]
+    # exp2 trick as in the forward: p is the same softmax value; the TRUE
+    # sm_scale still multiplies ds (it is d s_raw / d q·k)
+    s_scale = sm_scale * LOG2_E
 
     if masked:
         col_valid = (
@@ -195,11 +237,11 @@ def _flash_bwd_kernel(
         s = jax.lax.dot_general(
             q, k_all, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
-        ) * sm_scale  # [block_q, T]
+        ) * s_scale  # [block_q, T]
         if masked:
             s = jnp.where(col_valid, s, NEG_INF)
         m = jnp.max(s, axis=-1, keepdims=True)
-        p = jnp.exp(s - m)
+        p = jnp.exp2(s - m)
         p = p / jnp.maximum(jnp.sum(p, axis=-1, keepdims=True), 1e-30)
 
         dp = jax.lax.dot_general(
