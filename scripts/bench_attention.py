@@ -90,14 +90,75 @@ def main() -> None:
 
     results: dict[str, float] = {}
 
-    # roofline: the two matmuls alone (no softmax) — the ceiling any
-    # attention kernel at these shapes can hit
+    # chip peak sanity: one large square matmul (shapes the MXU loves)
+    M = 4096
+
+    @jax.jit
+    def big_matmul(a, b):
+        def body(x, _):
+            return jnp.dot(x, b, preferred_element_type=jnp.bfloat16), ()
+
+        x, _ = jax.lax.scan(body, a, None, length=args.iters)
+        return jnp.sum(x.astype(jnp.float32))
+
+    a = jax.random.normal(kq, (M, M), jnp.bfloat16)
+    bmat = jax.random.normal(kk, (M, M), jnp.bfloat16) * (1.0 / M)
+    float(big_matmul(a, bmat))
+    t0 = time.perf_counter()
+    float(big_matmul(a, bmat))
+    dt = (time.perf_counter() - t0) / args.iters
+    print(f"{'peak sanity: 4096^3 bf16 matmul':48s} {dt*1e3:8.3f} ms   "
+          f"{2*M**3/dt/1e12:6.1f} TFLOP/s")
+
+    # XLA attention-shaped matmuls (HBM-bound: materializes the [T,T] f32
+    # score tensor — NOT a compute ceiling, listed for context)
     def matmul_only(q, k, v):
         s = jnp.einsum("bhtd,bhsd->bhts", q, k,
                        preferred_element_type=jnp.float32)
         return jnp.einsum("bhts,bhsd->bhtd", s.astype(q.dtype), v)
 
-    results["matmul_roofline"] = timed("matmul-only roofline", matmul_only)
+    results["matmul_hbm"] = timed("xla matmul-only (HBM-bound)", matmul_only)
+
+    # kernel-internal split: same pallas structure but softmax replaced by a
+    # cheap scale — isolates MXU time from VPU softmax time
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    def _nosm_kernel(q_ref, k_ref, v_ref, o_ref):
+        q_ = q_ref[0]
+        s = jax.lax.dot_general(
+            q_, k_ref[0], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        acc = jax.lax.dot(
+            (s * (1.0 / T)).astype(v_ref.dtype), v_ref[0],
+            preferred_element_type=jnp.float32,
+        )
+        o_ref[0] = acc.astype(o_ref.dtype)
+
+    def flash_nosm(q, k, v, block_q=832):
+        bh = B * H
+        qf = q.reshape(bh, T, D)
+        grid = (bh, T // block_q)
+        out = pl.pallas_call(
+            _nosm_kernel,
+            out_shape=jax.ShapeDtypeStruct((bh, T, D), q.dtype),
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((1, block_q, D), lambda b, i: (b, i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, T, D), lambda b, i: (b, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, T, D), lambda b, i: (b, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((1, block_q, D), lambda b, i: (b, i, 0),
+                                   memory_space=pltpu.VMEM),
+        )(qf, k.reshape(bh, T, D), v.reshape(bh, T, D))
+        return out.reshape(B, H, T, D)
+
+    results["pallas_nosm"] = timed("pallas matmuls-only (no softmax)",
+                                   flash_nosm)
     results["xla_einsum"] = timed("xla_einsum", einsum_attn)
 
     def flash(name, **kw):

@@ -1,0 +1,95 @@
+"""Measure the built-in spectral-gating denoiser's SNR improvement.
+
+Produces the honesty table for docs/USAGE.md (VERDICT r1 #10): synthetic
+speech-like signal (harmonic series with pitch/amplitude modulation and
+formant emphasis) + stationary noise at known input SNRs → output SNR after
+``AudioDenoiser`` (48 kHz DeepFilterNet contract). The optional ``df``
+backend is measured too when installed (it is not in this image).
+
+    python scripts/measure_denoiser.py
+"""
+
+from __future__ import annotations
+
+import sys
+from pathlib import Path
+
+import numpy as np
+
+REPO_ROOT = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO_ROOT))
+
+from oron_tts_tpu.data.denoiser import AudioDenoiser  # noqa: E402
+
+SR = 24000
+
+
+def speech_like(seconds: float = 4.0, seed: int = 0) -> np.ndarray:
+    """Harmonic stack with vibrato, formant emphasis and syllabic AM."""
+    rng = np.random.default_rng(seed)
+    n = int(SR * seconds)
+    t = np.arange(n) / SR
+    f0 = 140.0 * (1 + 0.08 * np.sin(2 * np.pi * 4.2 * t))  # vibrato
+    phase = 2 * np.pi * np.cumsum(f0) / SR
+    x = np.zeros(n)
+    formants = [(500, 1.0), (1500, 0.5), (2500, 0.25)]
+    for h in range(1, 24):
+        fh = 140.0 * h
+        gain = sum(a * np.exp(-0.5 * ((fh - fc) / 300.0) ** 2)
+                   for fc, a in formants) + 0.02
+        x += gain / h * np.sin(h * phase + rng.uniform(0, 2 * np.pi))
+    # syllabic amplitude modulation (~3.5 Hz) with pauses
+    env = 0.5 * (1 + np.sin(2 * np.pi * 3.5 * t - np.pi / 2))
+    env = np.clip(env * 1.4 - 0.2, 0.0, 1.0)
+    x *= env
+    return (x / np.abs(x).max()).astype(np.float32)
+
+
+def snr_db(clean: np.ndarray, test: np.ndarray) -> float:
+    n = min(len(clean), len(test))
+    clean, test = clean[:n], test[:n]
+    noise = test - clean
+    return 10 * np.log10(
+        (np.sum(clean**2) + 1e-12) / (np.sum(noise**2) + 1e-12)
+    )
+
+
+def main() -> None:
+    clean = speech_like()
+    rng = np.random.default_rng(1)
+    white = rng.standard_normal(len(clean)).astype(np.float32)
+    # pink-ish noise: 1/f shaping in the frequency domain
+    spec = np.fft.rfft(rng.standard_normal(len(clean)))
+    freqs = np.maximum(np.fft.rfftfreq(len(clean), 1 / SR), 1.0)
+    pink = np.fft.irfft(spec / np.sqrt(freqs), n=len(clean)).astype(np.float32)
+    pink /= np.abs(pink).max()
+
+    backends = ["spectral"]
+    try:
+        import df  # noqa: F401
+
+        backends.append("df")
+    except ImportError:
+        print("# df (DeepFilterNet) not installed — spectral only",
+              file=sys.stderr)
+
+    print("| noise | input SNR (dB) | " +
+          " | ".join(f"{b} output SNR (dB)" for b in backends) + " |")
+    print("|---|---|" + "---|" * len(backends))
+    for noise_name, noise in (("white", white), ("pink", pink)):
+        for target_snr in (0.0, 5.0, 10.0, 20.0):
+            sig_pow = np.mean(clean**2)
+            noise_pow = np.mean(noise**2)
+            scale = np.sqrt(sig_pow / noise_pow / 10 ** (target_snr / 10))
+            noisy = clean + scale * noise
+            cols = []
+            for backend in backends:
+                den = AudioDenoiser(backend=backend)
+                out = den.denoise(noisy.copy(), SR)
+                cols.append(f"{snr_db(clean, out):.1f}")
+            inp = snr_db(clean, noisy)
+            print(f"| {noise_name} | {inp:.1f} | " + " | ".join(cols) + " |")
+
+
+if __name__ == "__main__":
+    main()
