@@ -1,0 +1,172 @@
+"""Generate a synthetic speech-like corpus for vocoder training.
+
+With zero network egress and no bundled datasets, the default vocoder ships
+trained on synthetic audio engineered to cover the mel/phase space real
+speech occupies: glottal-style harmonic sources with drifting f0 and
+time-varying formant filters, fricative/plosive noise segments, silences,
+plus a minority of sweeps and colored noise for spectral coverage.
+
+    python scripts/make_synthetic_speech.py --out data/synth_speech -n 1500
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+from pathlib import Path
+
+import numpy as np
+
+REPO_ROOT = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO_ROOT))
+
+from oron_tts_tpu.data.wav import write_wav  # noqa: E402
+
+SR = 24000
+N_FFT, HOP = 1024, 256
+
+
+def _formant_envelope(rng: np.random.Generator, n_frames: int) -> np.ndarray:
+    """[n_frames, n_bins] smooth time-varying vocal-tract-ish filter."""
+    freqs = np.fft.rfftfreq(N_FFT, 1 / SR)
+    n_formants = rng.integers(3, 6)
+    centers = np.sort(rng.uniform(300, 4500, n_formants))
+    bws = rng.uniform(80, 300, n_formants)
+    amps = rng.uniform(0.4, 1.0, n_formants)
+    # slow random drift of each formant center over the clip
+    drift = np.cumsum(rng.normal(0, 8.0, (n_frames, n_formants)), axis=0)
+    env = np.zeros((n_frames, len(freqs)))
+    for j in range(n_formants):
+        c = centers[j] + drift[:, j]
+        env += amps[j] * np.exp(
+            -0.5 * ((freqs[None, :] - c[:, None]) / bws[j]) ** 2
+        )
+    # spectral tilt like glottal sources
+    tilt = (1.0 + freqs / 500.0) ** -rng.uniform(0.3, 0.9)
+    return (env + 0.03) * tilt[None, :]
+
+
+def _stft_filter(x: np.ndarray, env: np.ndarray) -> np.ndarray:
+    """Overlap-add filtering with the per-frame magnitude envelope."""
+    window = np.hanning(N_FFT + 1)[:-1]
+    n_frames = env.shape[0]
+    need = (n_frames - 1) * HOP + N_FFT
+    x = np.pad(x, (0, max(0, need - len(x))))[:need]
+    idx = np.arange(n_frames)[:, None] * HOP + np.arange(N_FFT)[None, :]
+    spec = np.fft.rfft(x[idx] * window, axis=-1) * env
+    frames = np.fft.irfft(spec, n=N_FFT, axis=-1) * window
+    out = np.zeros(need)
+    norm = np.zeros(need)
+    np.add.at(out, idx.ravel(), frames.ravel())
+    np.add.at(norm, idx.ravel(), np.tile(window**2, n_frames))
+    return out / np.maximum(norm, 1e-8)
+
+
+def speech_clip(rng: np.random.Generator, seconds: float) -> np.ndarray:
+    n = int(SR * seconds)
+    t = np.arange(n) / SR
+    # f0 contour: random walk in log space, speaker range
+    f0_base = rng.uniform(85, 320)
+    walk = np.cumsum(rng.normal(0, 0.004, n))
+    walk -= np.linspace(0, walk[-1], n)  # zero net drift
+    f0 = f0_base * np.exp(walk + 0.05 * np.sin(2 * np.pi * rng.uniform(3, 6) * t))
+    phase = 2 * np.pi * np.cumsum(f0) / SR
+    rolloff = rng.uniform(0.6, 1.4)
+    voiced = np.zeros(n)
+    for h in range(1, int(8000 / f0_base)):
+        voiced += np.sin(h * phase + rng.uniform(0, 2 * np.pi)) / h**rolloff
+    # unvoiced source: white noise; mix per-segment
+    noise = rng.standard_normal(n)
+    # voicing pattern: syllable-rate segments, some unvoiced, some silent
+    seg_len = int(SR * rng.uniform(0.08, 0.25))
+    mix = np.zeros(n)
+    amp = np.zeros(n)
+    pos = 0
+    while pos < n:
+        ln = min(seg_len + rng.integers(-seg_len // 3, seg_len // 3 + 1),
+                 n - pos)
+        kind = rng.random()
+        if kind < 0.55:      # voiced
+            mix[pos:pos + ln] = rng.uniform(0.85, 1.0)
+            amp[pos:pos + ln] = rng.uniform(0.5, 1.0)
+        elif kind < 0.8:     # unvoiced (fricative-ish)
+            mix[pos:pos + ln] = rng.uniform(0.0, 0.15)
+            amp[pos:pos + ln] = rng.uniform(0.15, 0.5)
+        else:                # pause
+            amp[pos:pos + ln] = 0.0
+        pos += ln
+    # smooth the gates (10 ms)
+    k = int(0.01 * SR)
+    kernel = np.hanning(2 * k + 1)
+    kernel /= kernel.sum()
+    mix = np.convolve(mix, kernel, mode="same")
+    amp = np.convolve(amp, kernel, mode="same")
+    source = mix * voiced + (1 - mix) * noise * 0.5
+    source *= amp
+
+    n_frames = 1 + max(0, (n - N_FFT)) // HOP
+    env = _formant_envelope(rng, n_frames)
+    out = _stft_filter(source, env)[:n]
+    peak = np.abs(out).max()
+    return (out / peak * rng.uniform(0.5, 0.95)).astype(np.float32) \
+        if peak > 0 else out.astype(np.float32)
+
+
+def coverage_clip(rng: np.random.Generator, seconds: float) -> np.ndarray:
+    """Sweeps / colored noise / tone stacks: mel-space coverage fillers."""
+    n = int(SR * seconds)
+    t = np.arange(n) / SR
+    kind = rng.integers(0, 3)
+    if kind == 0:  # exponential chirp
+        f0, f1 = sorted(rng.uniform(60, 8000, 2))
+        ph = 2 * np.pi * f0 * (np.exp(t / seconds * np.log(f1 / f0)) - 1) \
+            * seconds / np.log(f1 / f0)
+        x = np.sin(ph)
+    elif kind == 1:  # colored noise
+        spec = np.fft.rfft(rng.standard_normal(n))
+        freqs = np.maximum(np.fft.rfftfreq(n, 1 / SR), 1.0)
+        x = np.fft.irfft(spec * freqs ** rng.uniform(-1.0, 0.3), n=n)
+    else:  # tone stack with AM
+        x = np.zeros(n)
+        for _ in range(rng.integers(2, 6)):
+            f = rng.uniform(80, 6000)
+            x += rng.uniform(0.2, 1.0) * np.sin(
+                2 * np.pi * f * t + rng.uniform(0, 2 * np.pi))
+        x *= 0.5 * (1 + np.sin(2 * np.pi * rng.uniform(1, 8) * t))
+    x = x / np.abs(x).max() * rng.uniform(0.4, 0.95)
+    return x.astype(np.float32)
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--out", type=str, default="data/synth_speech")
+    ap.add_argument("-n", "--num-clips", type=int, default=1500)
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--coverage-fraction", type=float, default=0.15)
+    args = ap.parse_args()
+
+    out = Path(args.out)
+    (out / "wavs").mkdir(parents=True, exist_ok=True)
+    rng = np.random.default_rng(args.seed)
+    meta = []
+    total = 0.0
+    for i in range(args.num_clips):
+        seconds = float(rng.uniform(2.0, 5.0))
+        if rng.random() < args.coverage_fraction:
+            clip = coverage_clip(rng, seconds)
+        else:
+            clip = speech_clip(rng, seconds)
+        path = out / "wavs" / f"clip_{i:05d}.wav"
+        write_wav(path, clip, SR)
+        meta.append({"audio_path": str(path), "text": "", "lang": "mn",
+                     "speaker_id": int(i % 64)})
+        total += seconds
+        if (i + 1) % 200 == 0:
+            print(f"{i + 1}/{args.num_clips} ({total/60:.1f} min)", flush=True)
+    (out / "metadata.json").write_text(json.dumps(meta))
+    print(f"wrote {args.num_clips} clips, {total/3600:.2f} h -> {out}")
+
+
+if __name__ == "__main__":
+    main()
