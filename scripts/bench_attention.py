@@ -38,6 +38,7 @@ def main() -> None:
 
     from oron_tts_tpu.ops.flash_attention import (
         flash_attention,
+        flash_attention_packed,
         flash_attention_trainable,
     )
 
@@ -167,18 +168,18 @@ def main() -> None:
 
     flash("flash exp  (r1 default)", use_exp2=False)
     flash("flash exp2", use_exp2=True)
-    flash("flash exp2 parallel-sem", use_exp2=True,
-          dim_semantics=("parallel", "parallel"))
-    flash("flash exp2 arb-sem", use_exp2=True,
-          dim_semantics=("parallel", "arbitrary"))
-    for bq in (128, 208, 416, 832, T):
+
+    for bq in (104, 208, 416, 832):
         if T % bq == 0:
-            flash(f"flash exp2 bq={bq}", use_exp2=True, block_q=bq)
-    for bk in (T // 2, T // 4):
-        if T % bk == 0:
-            flash(f"flash exp2 bq=832 bk={bk}", use_exp2=True,
-                  block_q=832 if T % 832 == 0 else None, block_k=bk)
-    flash("flash exp2 unmasked", use_exp2=True)
+            results[f"packed bq={bq}"] = timed(
+                f"flash packed 2-head bq={bq}",
+                functools.partial(flash_attention_packed, kv_lens=kv_lens,
+                                  block_q=bq),
+            )
+    results["packed auto"] = timed(
+        "flash packed 2-head (auto bq)",
+        functools.partial(flash_attention_packed, kv_lens=kv_lens),
+    )
 
     # stock pallas kernel, if this jax ships one that fits
     try:
