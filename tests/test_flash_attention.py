@@ -86,3 +86,40 @@ def test_dit_with_flash_matches_einsum():
     np.testing.assert_allclose(
         np.asarray(flash_out), np.asarray(ref_out), atol=1e-4, rtol=1e-3
     )
+
+
+def test_packed_two_head_matches_einsum():
+    """Lane-packed 2-head kernel vs plain softmax attention (masked+unmasked)."""
+    import math
+
+    import jax.numpy as jnp
+
+    from oron_tts_tpu.ops.flash_attention import flash_attention_packed
+
+    B, H, T, D = 2, 4, 128, 64
+    k1, k2, k3 = jax.random.split(jax.random.PRNGKey(0), 3)
+    q = jax.random.normal(k1, (B, H, T, D), jnp.float32)
+    k = jax.random.normal(k2, (B, H, T, D), jnp.float32)
+    v = jax.random.normal(k3, (B, H, T, D), jnp.float32)
+    kv_lens = jnp.asarray([T, T - 40], jnp.int32)
+    mask = jnp.arange(T)[None, :] < kv_lens[:, None]
+
+    scale = 1 / math.sqrt(D)
+    logits = jnp.einsum("bhtd,bhsd->bhts", q, k) * scale
+    masked_logits = jnp.where(mask[:, None, None, :], logits, -1e30)
+
+    ref = jnp.einsum("bhts,bhsd->bhtd", jax.nn.softmax(masked_logits, -1), v)
+    out = flash_attention_packed(q, k, v, kv_lens=kv_lens, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+    ref_u = jnp.einsum("bhts,bhsd->bhtd", jax.nn.softmax(logits, -1), v)
+    out_u = flash_attention_packed(q, k, v, interpret=True)
+    np.testing.assert_allclose(np.asarray(out_u), np.asarray(ref_u), atol=2e-5)
+
+    # odd head count falls back to the unpacked kernel
+    out_odd = flash_attention_packed(
+        q[:, :3], k[:, :3], v[:, :3], kv_lens=kv_lens, interpret=True
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_odd), np.asarray(ref[:, :3]), atol=2e-5
+    )
