@@ -66,6 +66,7 @@ class DiT(nn.Module):
     gradient_checkpointing: bool = False
     dtype: Any = jnp.float32
     use_flash: bool = False
+    attn_impl: str | None = None
 
     def setup(self) -> None:
         self.time_embed = TimestepEmbedding(self.dim, dtype=self.dtype)
@@ -90,6 +91,7 @@ class DiT(nn.Module):
                 dropout=self.dropout,
                 dtype=self.dtype,
                 use_flash=self.use_flash,
+                attn_impl=self.attn_impl,
                 name=f"block{i}",
             )
             for i in range(self.depth)

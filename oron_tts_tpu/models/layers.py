@@ -220,7 +220,13 @@ class AdaLayerNormFinal(nn.Module):
 
 
 class Attention(nn.Module):
-    """Bidirectional self-attention with RoPE and key-padding masking."""
+    """Bidirectional self-attention with RoPE and key-padding masking.
+
+    ``attn_impl`` overrides ``use_flash`` when set: one of "einsum",
+    "flash", "packed" (two-head lane packing), or "skip" (identity over V —
+    measurement-only ablation that keeps projections but removes the
+    attention op itself).
+    """
 
     dim: int
     heads: int
@@ -228,6 +234,7 @@ class Attention(nn.Module):
     dropout: float = 0.0
     dtype: Dtype = jnp.float32
     use_flash: bool = False
+    attn_impl: str | None = None
 
     @nn.compact
     def __call__(
@@ -239,6 +246,7 @@ class Attention(nn.Module):
     ) -> jnp.ndarray:
         B, T, _ = x.shape
         inner = self.heads * self.dim_head
+        impl = self.attn_impl or ("flash" if self.use_flash else "einsum")
 
         def heads_first(y: jnp.ndarray) -> jnp.ndarray:
             return y.reshape(B, T, self.heads, self.dim_head).transpose(0, 2, 1, 3)
@@ -250,8 +258,13 @@ class Attention(nn.Module):
         if rope is not None:
             q, k = apply_rope(q, k, rope[0], rope[1])
 
-        if self.use_flash:
-            from oron_tts_tpu.ops.flash_attention import flash_attention_trainable
+        if impl == "skip":
+            out = v + 0.0 * q
+        elif impl in ("flash", "packed"):
+            from oron_tts_tpu.ops.flash_attention import (
+                flash_attention_packed,
+                flash_attention_trainable,
+            )
 
             # padding is a length prefix throughout the framework
             kv_lens = (
@@ -260,7 +273,12 @@ class Attention(nn.Module):
                 else jnp.full((B,), T, jnp.int32)
             )
             interpret = jax.default_backend() == "cpu"
-            out = flash_attention_trainable(q, k, v, kv_lens, interpret)
+            if impl == "packed":
+                out = flash_attention_packed(
+                    q, k, v, kv_lens=kv_lens, interpret=interpret
+                )
+            else:
+                out = flash_attention_trainable(q, k, v, kv_lens, interpret)
         else:
             scale = 1.0 / math.sqrt(self.dim_head)
             logits = jnp.einsum(
@@ -302,6 +320,7 @@ class DiTBlock(nn.Module):
     dropout: float = 0.1
     dtype: Dtype = jnp.float32
     use_flash: bool = False
+    attn_impl: str | None = None
 
     @nn.compact
     def __call__(
@@ -322,6 +341,7 @@ class DiTBlock(nn.Module):
             dropout=self.dropout,
             dtype=self.dtype,
             use_flash=self.use_flash,
+            attn_impl=self.attn_impl,
             name="attn",
         )(normed, mask=mask, rope=rope, deterministic=deterministic)
         x = x + gate_msa[:, None] * attn_out
