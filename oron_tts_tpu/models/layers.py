@@ -127,6 +127,44 @@ class ConvPositionEmbedding(nn.Module):
         return x
 
 
+class DepthwiseConv1d(nn.Module):
+    """Depthwise 1-D conv as K statically shifted multiply-adds.
+
+    Numerically identical to ``nn.Conv(dim, (k,), feature_group_count=dim)``
+    with the SAME parameter layout (kernel [k, 1, dim], bias [dim]) so
+    checkpoints and torch converters are unaffected — but it lowers to pure
+    vectorized fused work instead of XLA's grouped-convolution path, which
+    on TPU ran the vocoder's dwconvs at ~1 TFLOP/s-class throughput.
+    """
+
+    dim: int
+    kernel_size: int = 7
+    dilation: int = 1
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:  # [B, T, C]
+        kernel = self.param(
+            "kernel",
+            nn.initializers.lecun_normal(),
+            (self.kernel_size, 1, self.dim),
+        )
+        bias = self.param("bias", nn.initializers.zeros, (self.dim,))
+        kernel = kernel.astype(self.dtype)
+        x = x.astype(self.dtype)
+        pad = self.dilation * (self.kernel_size // 2)
+        t = x.shape[-2]
+        xp = jnp.pad(x, [(0, 0)] * (x.ndim - 2) + [(pad, pad), (0, 0)])
+        out = None
+        for i in range(self.kernel_size):
+            tap = jax.lax.slice_in_dim(
+                xp, i * self.dilation, i * self.dilation + t, axis=-2
+            )
+            term = tap * kernel[i, 0]
+            out = term if out is None else out + term
+        return out + bias.astype(self.dtype)
+
+
 class GRN(nn.Module):
     """Global Response Normalization over the time axis (ConvNeXt V2)."""
 
@@ -155,12 +193,10 @@ class ConvNeXtV2Block(nn.Module):
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         residual = x
-        x = nn.Conv(
+        x = DepthwiseConv1d(
             self.dim,
-            kernel_size=(7,),
-            padding=[(self.dilation * 3, self.dilation * 3)],
-            feature_group_count=self.dim,
-            kernel_dilation=(self.dilation,),
+            kernel_size=7,
+            dilation=self.dilation,
             dtype=self.dtype,
             name="dwconv",
         )(x)

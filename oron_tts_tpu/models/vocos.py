@@ -19,6 +19,7 @@ import flax.linen as nn
 import jax.numpy as jnp
 import numpy as np
 
+from oron_tts_tpu.models.layers import DepthwiseConv1d
 from oron_tts_tpu.ops.stft import istft_real
 
 
@@ -31,9 +32,8 @@ class VocosConvNeXtBlock(nn.Module):
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         residual = x
-        x = nn.Conv(
-            self.dim, kernel_size=(7,), padding="SAME",
-            feature_group_count=self.dim, dtype=self.dtype, name="dwconv",
+        x = DepthwiseConv1d(
+            self.dim, kernel_size=7, dtype=self.dtype, name="dwconv",
         )(x)
         x = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm")(x)
         x = nn.Dense(self.intermediate_dim, dtype=self.dtype, name="pwconv1")(x)

@@ -26,6 +26,47 @@ def _window(n_fft: int, win_length: int) -> np.ndarray:
     return w
 
 
+@functools.lru_cache(maxsize=16)
+def _window_envelope(
+    n_fft: int, hop_length: int, win_length: int, n_frames: int
+) -> np.ndarray:
+    """Overlap-added window-square normalization (constant per shape)."""
+    w2 = _window(n_fft, win_length).astype(np.float64) ** 2
+    out_len = n_fft + hop_length * (n_frames - 1)
+    env = np.zeros(out_len)
+    for t in range(n_frames):
+        env[t * hop_length: t * hop_length + n_fft] += w2
+    return env.astype(np.float32)
+
+
+def _overlap_add(frames: jnp.ndarray, hop: int) -> jnp.ndarray:
+    """[..., T, n_fft] → [..., n_fft + hop·(T−1)] without scatter ops.
+
+    TPU scatter-add is serialized and dominated the vocoder's ISTFT cost;
+    when hop divides n_fft the overlap-add is R = n_fft/hop statically
+    shifted pad+adds (pure vectorized work XLA fuses).
+    """
+    n_frames, n_fft = frames.shape[-2], frames.shape[-1]
+    out_len = n_fft + hop * (n_frames - 1)
+    if n_fft % hop:
+        idx = (
+            jnp.arange(n_frames)[:, None] * hop + jnp.arange(n_fft)[None, :]
+        ).reshape(-1)
+        flat = frames.reshape(*frames.shape[:-2], -1)
+        wav = jnp.zeros((*frames.shape[:-2], out_len), dtype=frames.dtype)
+        return wav.at[..., idx].add(flat)
+    r = n_fft // hop
+    chunks = frames.reshape(*frames.shape[:-1], r, hop)
+    total = n_frames + r - 1
+    acc = jnp.zeros((*frames.shape[:-2], total, hop), dtype=frames.dtype)
+    pad_spec = [(0, 0)] * (frames.ndim - 2)
+    for j in range(r):
+        acc = acc + jnp.pad(
+            chunks[..., j, :], pad_spec + [(j, r - 1 - j), (0, 0)]
+        )
+    return acc.reshape(*frames.shape[:-2], total * hop)
+
+
 def istft_real(
     re: jnp.ndarray,
     im: jnp.ndarray,
@@ -61,15 +102,8 @@ def istft_real(
     n_frames = frames.shape[-2]
     out_len = n_fft + hop_length * (n_frames - 1)
 
-    idx = (
-        jnp.arange(n_frames)[:, None] * hop_length + jnp.arange(n_fft)[None, :]
-    ).reshape(-1)
-    flat = frames.reshape(*frames.shape[:-2], -1)
-    wav = jnp.zeros((*frames.shape[:-2], out_len), dtype=frames.dtype)
-    wav = wav.at[..., idx].add(flat)
-
-    wsq = jnp.zeros(out_len, dtype=frames.dtype)
-    wsq = wsq.at[idx].add(jnp.tile(window * window, n_frames))
+    wav = _overlap_add(frames, hop_length)
+    wsq = jnp.asarray(_window_envelope(n_fft, hop_length, win_length, n_frames))
     wav = wav / jnp.maximum(wsq, eps)
 
     if padding == "same":
