@@ -102,7 +102,14 @@ def _pick_blocks(T: int, block_q: int | None, block_k: int | None) -> tuple[int,
     Swept on v5e (T=1664, D=64): streaming the WHOLE K/V per matmul with a
     large q block beats small square tiles by ~2.4x — the D=64 contraction
     starves the MXU, so fewer/bigger matmuls win.
+
+    ``ORON_FLASH_BLOCK_Q`` overrides the automatic q-block choice (in-model
+    tuning knob; read at trace time).
     """
+    import os
+
+    if block_q is None and (env_bq := os.environ.get("ORON_FLASH_BLOCK_Q")):
+        block_q = int(env_bq)
 
     def divisors_desc(n: int) -> list[int]:
         return sorted((d for d in range(8, n + 1) if n % d == 0), reverse=True)
