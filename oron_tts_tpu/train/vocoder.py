@@ -94,6 +94,133 @@ def make_vocoder_train_step(vocoder: Any, tx: optax.GradientTransformation,
     return step
 
 
+def make_vocoder_train_step_wav(
+    vocoder: Any, tx: optax.GradientTransformation, mel_cfg: MelConfig
+):
+    """Waveform-only train step: the input mel is extracted ON DEVICE.
+
+    The original step took a host-computed mel; the numpy matmul-DFT per
+    batch dominated wall time (~2 s/step on the tunnel). Device-side mel
+    extraction is a few matmuls and rides the MXU; the host only crops.
+    """
+    from oron_tts_tpu.ops.mel import log_mel_spectrogram
+
+    @jax.jit
+    def step(params, opt_state, wav):
+        mel = log_mel_spectrogram(wav, mel_cfg)
+        crop_t = wav.shape[-1] // mel_cfg.hop_length
+        mel = mel[..., :crop_t]
+
+        def loss_fn(p):
+            return vocoder_loss({"params": p}, vocoder, mel, wav, mel_cfg)
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        gnorm = optax.global_norm(grads)
+        ok = jnp.isfinite(loss) & jnp.isfinite(gnorm)
+        safe = jax.tree_util.tree_map(
+            lambda g: jnp.where(ok, g, jnp.zeros_like(g)), grads
+        )
+        updates, new_opt = tx.update(safe, opt_state, params)
+        new_params = optax.apply_updates(params, updates)
+        pick = functools.partial(
+            jax.tree_util.tree_map, lambda a, b: jnp.where(ok, a, b)
+        )
+        return pick(new_params, params), pick(new_opt, opt_state), loss, gnorm
+
+    return step
+
+
+def crop_wavs(
+    audios: list[np.ndarray],
+    crop_len: int,
+    rng: np.random.Generator | None = None,
+) -> np.ndarray:
+    """Random waveform crops [B, crop_len] (mel happens on device)."""
+    rng = rng or np.random.default_rng()
+    out = np.zeros((len(audios), crop_len), np.float32)
+    for i, audio in enumerate(audios):
+        if len(audio) <= crop_len:
+            out[i, : len(audio)] = audio
+        else:
+            start = int(rng.integers(0, len(audio) - crop_len))
+            out[i] = audio[start: start + crop_len]
+    return out
+
+
+def pack_corpus(
+    audios: list[np.ndarray], crop_len: int
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Concatenate clips into one flat array for device-resident training.
+
+    Returns (flat [N], clip_offsets [C], max_starts [C]); clips shorter
+    than crop_len are zero-padded to it so every clip yields ≥1 valid crop.
+    """
+    pieces, offsets, max_starts = [], [], []
+    pos = 0
+    for audio in audios:
+        a = audio.astype(np.float32)
+        if len(a) < crop_len:
+            a = np.pad(a, (0, crop_len - len(a)))
+        pieces.append(a)
+        offsets.append(pos)
+        max_starts.append(len(a) - crop_len)
+        pos += len(a)
+    return (np.concatenate(pieces), np.asarray(offsets, np.int64),
+            np.asarray(max_starts, np.int64))
+
+
+def make_vocoder_superstep(
+    vocoder: Any, tx: optax.GradientTransformation, mel_cfg: MelConfig,
+    crop_len: int, k_steps: int,
+):
+    """K train steps per dispatch over a device-resident corpus.
+
+    One jit call receives host-sampled crop start indices [K, B] and runs
+    k_steps optimizer updates via lax.scan, cropping waveforms on device
+    with dynamic slices — removing both the per-step host→device batch
+    upload (the tunnel bottleneck) and the per-step dispatch latency.
+    """
+    from oron_tts_tpu.ops.mel import log_mel_spectrogram
+
+    @jax.jit
+    def superstep(params, opt_state, flat, starts):
+        def gather(batch_starts):
+            return jax.vmap(
+                lambda s: jax.lax.dynamic_slice(flat, (s,), (crop_len,))
+            )(batch_starts)
+
+        def one(carry, batch_starts):
+            params, opt_state = carry
+            wav = gather(batch_starts)
+            mel = log_mel_spectrogram(wav, mel_cfg)[
+                ..., : crop_len // mel_cfg.hop_length
+            ]
+
+            def loss_fn(p):
+                return vocoder_loss({"params": p}, vocoder, mel, wav, mel_cfg)
+
+            loss, grads = jax.value_and_grad(loss_fn)(params)
+            gnorm = optax.global_norm(grads)
+            ok = jnp.isfinite(loss) & jnp.isfinite(gnorm)
+            safe = jax.tree_util.tree_map(
+                lambda g: jnp.where(ok, g, jnp.zeros_like(g)), grads
+            )
+            updates, new_opt = tx.update(safe, opt_state, params)
+            new_params = optax.apply_updates(params, updates)
+            pick = functools.partial(
+                jax.tree_util.tree_map, lambda a, b: jnp.where(ok, a, b)
+            )
+            return ((pick(new_params, params), pick(new_opt, opt_state)),
+                    (loss, gnorm))
+
+        (params, opt_state), (losses, gnorms) = jax.lax.scan(
+            one, (params, opt_state), starts
+        )
+        return params, opt_state, losses, gnorms
+
+    return superstep
+
+
 def crop_batch(
     audios: list[np.ndarray],
     mel_cfg: MelConfig,

@@ -54,7 +54,11 @@ def main() -> None:
     from oron_tts_tpu.models.vocos import VocosDecoder
     from oron_tts_tpu.ops.mel import MelConfig
     from oron_tts_tpu.train.checkpoint import CheckpointManager
-    from oron_tts_tpu.train.vocoder import crop_batch, make_vocoder_train_step
+    from oron_tts_tpu.train.vocoder import (
+        crop_batch,
+        make_vocoder_superstep,
+        pack_corpus,
+    )
 
     metadata = json.loads((Path(args.data_dir) / "metadata.json").read_text())
     mel_cfg = MelConfig()
@@ -75,10 +79,19 @@ def main() -> None:
     variables = vocoder.init(jax.random.PRNGKey(0), mels0)
     params = variables["params"]
 
-    schedule = optax.cosine_decay_schedule(args.learning_rate, args.steps)
+    schedule = optax.warmup_cosine_decay_schedule(
+        init_value=args.learning_rate * 1e-2,
+        peak_value=args.learning_rate,
+        warmup_steps=min(500, max(args.steps // 20, 1)),
+        decay_steps=args.steps,
+    )
     tx = optax.chain(optax.clip_by_global_norm(1.0), optax.adamw(schedule))
     opt_state = tx.init(params)
-    step_fn = make_vocoder_train_step(vocoder, tx, mel_cfg)
+    # device-resident corpus + K steps per dispatch: per-step batch uploads
+    # and dispatch latency through the tunnel were the bottleneck (~1 it/s)
+    crop_len = args.crop_frames * mel_cfg.hop_length
+    k_steps = max(1, min(args.log_interval, 25))
+    step_fn = make_vocoder_superstep(vocoder, tx, mel_cfg, crop_len, k_steps)
 
     cm = CheckpointManager(args.checkpoint_dir, model_name="vocos",
                            max_checkpoints=3)
@@ -125,33 +138,72 @@ def main() -> None:
 
     rng = np.random.default_rng(1)
     t0 = time.monotonic()
-    for step in range(start_step, args.steps):
-        idx = rng.choice(len(audios), size=args.batch_size)
-        mels, wavs = crop_batch([audios[i] for i in idx], mel_cfg,
-                                args.crop_frames, rng)
-        gan_active = args.gan and step >= args.gan_start_step
-        if gan_active:
-            d_params, d_opt, d_loss = d_step_fn(d_params, d_opt, params,
-                                                mels, wavs)
-            params, g_opt2, loss, aux = g_step_fn(params, g_opt2, d_params,
-                                                  mels, wavs)
-            gnorm = aux[0]  # adv component for the log line
-        else:
-            params, opt_state, loss, gnorm = step_fn(params, opt_state,
-                                                     mels, wavs)
-        if (step + 1) % args.log_interval == 0:
-            rate = (step + 1 - start_step) / (time.monotonic() - t0)
-            extra = f" | d_loss={float(d_loss):.4f}" if gan_active else ""
-            print(f"step {step + 1}/{args.steps} | loss={float(loss):.4f} | "
-                  f"gnorm={float(gnorm):.3f}{extra} | {rate:.1f} it/s",
-                  flush=True)
-        if (step + 1) % args.save_interval == 0 or step + 1 == args.steps:
-            cm.save(step + 1, params, opt_state=opt_state, loss=float(loss),
-                    config={"dim": args.dim, "n_layers": args.n_layers,
-                            "intermediate_dim": args.dim * 3,
-                            "head_mode": "real_imag"})
-            if args.gan and d_params is not None and d_cm is not None:
-                d_cm.save(step + 1, d_params)
+    voc_config = {"dim": args.dim, "n_layers": args.n_layers,
+                  "intermediate_dim": args.dim * 3,
+                  "head_mode": "real_imag"}
+
+    if args.gan:
+        # adversarial stage keeps the host-batched path (separate d/g jits)
+        for step in range(start_step, args.steps):
+            idx = rng.choice(len(audios), size=args.batch_size)
+            mels, wavs = crop_batch([audios[i] for i in idx], mel_cfg,
+                                    args.crop_frames, rng)
+            gan_active = step >= args.gan_start_step
+            if gan_active:
+                d_params, d_opt, d_loss = d_step_fn(d_params, d_opt, params,
+                                                    mels, wavs)
+                params, g_opt2, loss, aux = g_step_fn(params, g_opt2,
+                                                      d_params, mels, wavs)
+                gnorm = aux[0]
+            else:
+                raise SystemExit("--gan with --gan-start-step>0 needs a "
+                                 "pretrained --resume checkpoint")
+            if (step + 1) % args.log_interval == 0:
+                rate = (step + 1 - start_step) / (time.monotonic() - t0)
+                print(f"step {step + 1}/{args.steps} | "
+                      f"loss={float(loss):.4f} | adv={float(gnorm):.3f} | "
+                      f"d_loss={float(d_loss):.4f} | {rate:.1f} it/s",
+                      flush=True)
+            if (step + 1) % args.save_interval == 0 or step + 1 == args.steps:
+                cm.save(step + 1, params, loss=float(loss), config=voc_config)
+                if d_params is not None and d_cm is not None:
+                    d_cm.save(step + 1, d_params)
+        print(f"Done. Use: infer.py --vocoder {cm.latest_checkpoint()}")
+        return
+
+    # MR-STFT stage: device-resident corpus, K steps per dispatch
+    import jax.numpy as jnp
+
+    flat_np, offsets, max_starts = pack_corpus(audios, crop_len)
+    flat = jnp.asarray(flat_np)
+    print(f"Corpus on device: {flat_np.nbytes/1e6:.0f} MB, "
+          f"{len(audios)} clips; {k_steps} steps/dispatch", flush=True)
+
+    step = start_step
+    while step < args.steps:
+        k = min(k_steps, args.steps - step)
+        clips = rng.integers(0, len(audios), size=(k_steps, args.batch_size))
+        within = rng.random((k_steps, args.batch_size))
+        starts = (offsets[clips]
+                  + (within * (max_starts[clips] + 1)).astype(np.int64))
+        params, opt_state, losses, gnorms = step_fn(
+            params, opt_state, flat, starts.astype(np.int32)
+        )
+        step += k
+        if (step // k_steps) % max(1, args.log_interval // k_steps) == 0 \
+                or step >= args.steps:
+            losses = np.asarray(losses)[:k]
+            gnorms = np.asarray(gnorms)[:k]
+            n_skip = int((~np.isfinite(gnorms)).sum())
+            rate = (step - start_step) / (time.monotonic() - t0)
+            print(f"step {step}/{args.steps} | loss={losses[-1]:.4f} "
+                  f"(window mean {np.nanmean(losses):.4f}) | "
+                  f"gnorm={gnorms[-1]:.3f} | skipped={n_skip} | "
+                  f"{rate:.1f} it/s", flush=True)
+        if step % args.save_interval < k or step >= args.steps:
+            cm.save(step, params, opt_state=opt_state,
+                    loss=float(np.asarray(losses)[:k][-1]),
+                    config=voc_config)
     print(f"Done. Use: infer.py --vocoder "
           f"{cm.latest_checkpoint()}")
 
