@@ -36,6 +36,9 @@ class ModelConfig:
     audio_drop_prob: float = 0.3
     cond_drop_prob: float = 0.2
     frac_lengths_mask: tuple[float, float] = (0.7, 1.0)
+    # lax.scan over stacked DiT blocks: same numerics, ~depth× faster cold
+    # compile; checkpoints stay in the unrolled block{i} layout on disk
+    scan_blocks: bool = False
 
     @property
     def dim_head(self) -> int:
@@ -74,6 +77,7 @@ class F5Config:
             audio_drop_prob=m.get("audio_drop_prob", 0.3),
             cond_drop_prob=m.get("cond_drop_prob", 0.2),
             frac_lengths_mask=(float(frac[0]), float(frac[1])),
+            scan_blocks=m.get("scan_blocks", False),
         )
         audio = AudioConfig(
             sample_rate=cfg.get("sample_rate", 24000),

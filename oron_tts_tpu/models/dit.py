@@ -52,6 +52,13 @@ class InputEmbedding(nn.Module):
         return pos + h
 
 
+class _DiTBlockScanBody(DiTBlock):
+    """DiTBlock with the (carry, out) return shape nn.scan expects."""
+
+    def __call__(self, x, t, mask, rope, deterministic):  # noqa: D102
+        return super().__call__(x, t, mask, rope, deterministic), None
+
+
 class DiT(nn.Module):
     dim: int = 1024
     depth: int = 22
@@ -67,6 +74,7 @@ class DiT(nn.Module):
     dtype: Any = jnp.float32
     use_flash: bool = False
     attn_impl: str | None = None
+    scan_blocks: bool = False
 
     def setup(self) -> None:
         self.time_embed = TimestepEmbedding(self.dim, dtype=self.dtype)
@@ -79,23 +87,41 @@ class DiT(nn.Module):
         self.input_embed = InputEmbedding(
             self.mel_dim, self.text_dim, self.dim, dtype=self.dtype
         )
-        block = DiTBlock
-        if self.gradient_checkpointing:
-            block = nn.remat(DiTBlock, static_argnums=(5,))
-        self.blocks = [
-            block(
-                dim=self.dim,
-                heads=self.heads,
-                dim_head=self.dim_head,
-                ff_mult=self.ff_mult,
-                dropout=self.dropout,
-                dtype=self.dtype,
-                use_flash=self.use_flash,
-                attn_impl=self.attn_impl,
-                name=f"block{i}",
+        block_kwargs = dict(
+            dim=self.dim,
+            heads=self.heads,
+            dim_head=self.dim_head,
+            ff_mult=self.ff_mult,
+            dropout=self.dropout,
+            dtype=self.dtype,
+            use_flash=self.use_flash,
+            attn_impl=self.attn_impl,
+        )
+        if self.scan_blocks:
+            # One block traced/compiled once, iterated by lax.scan over a
+            # stacked [depth, ...] parameter axis — cuts Base-config cold
+            # compile from minutes to the single-block cost. On-disk
+            # checkpoints stay in the unrolled block{i} layout via
+            # stack_block_params/unstack_block_params.
+            body = _DiTBlockScanBody
+            if self.gradient_checkpointing:
+                body = nn.remat(body, static_argnums=(5,))
+            scan = nn.scan(
+                body,
+                variable_axes={"params": 0},
+                split_rngs={"params": True, "dropout": True},
+                in_axes=(nn.broadcast, nn.broadcast, nn.broadcast, nn.broadcast),
+                length=self.depth,
             )
-            for i in range(self.depth)
-        ]
+            self.blocks = scan(**block_kwargs, name="blocks")
+        else:
+            block = DiTBlock
+            if self.gradient_checkpointing:
+                block = nn.remat(DiTBlock, static_argnums=(5,))
+            self.blocks = [
+                block(**block_kwargs, name=f"block{i}")
+                for i in range(self.depth)
+            ]
         self.norm_out = AdaLayerNormFinal(self.dim, dtype=self.dtype)
         self.proj_out = nn.Dense(
             self.mel_dim,
@@ -120,8 +146,11 @@ class DiT(nn.Module):
         seq_len = h.shape[1]
         cos, sin = rope_tables(seq_len, self.dim_head)
         rope = (jnp.asarray(cos), jnp.asarray(sin))
-        for blk in self.blocks:
-            h = blk(h, t, mask, rope, deterministic)
+        if self.scan_blocks:
+            h, _ = self.blocks(h, t, mask, rope, deterministic)
+        else:
+            for blk in self.blocks:
+                h = blk(h, t, mask, rope, deterministic)
         h = self.norm_out(h, t)
         return self.proj_out(h)
 
@@ -186,3 +215,45 @@ class DiT(nn.Module):
         out = self._transformer(h, t2, mask2, deterministic=True)
         b = x.shape[0]
         return out[:b], out[b:]
+
+
+# ── block-parameter layout adapters (scan_blocks interop) ─────────────────
+#
+# The on-disk/torch-interop contract is the unrolled layout
+# (params["block0"] … params["block{depth-1}"], matching reference
+# dit.py's transformer_blocks ModuleList); scan_blocks=True models hold one
+# stacked params["blocks"] subtree with a leading [depth] axis instead.
+
+
+def stack_block_params(params: dict, depth: int) -> dict:
+    """Unrolled ``block{i}`` params → stacked ``blocks`` (scan layout)."""
+    import jax
+
+    out = {k: v for k, v in params.items() if not k.startswith("block")}
+    blocks = [params[f"block{i}"] for i in range(depth)]
+    out["blocks"] = jax.tree_util.tree_map(
+        lambda *xs: jnp.stack([jnp.asarray(x) for x in xs]), *blocks
+    )
+    return out
+
+
+def unstack_block_params(params: dict, depth: int) -> dict:
+    """Stacked ``blocks`` params → unrolled ``block{i}`` (disk layout)."""
+    import jax
+
+    out = {k: v for k, v in params.items() if k != "blocks"}
+    stacked = params["blocks"]
+    for i in range(depth):
+        out[f"block{i}"] = jax.tree_util.tree_map(
+            lambda x, i=i: x[i], stacked
+        )
+    return out
+
+
+def adapt_block_layout(params: dict, depth: int, scan_blocks: bool) -> dict:
+    """Convert DiT params between layouts if needed (no-op when matching)."""
+    if scan_blocks and "blocks" not in params:
+        return stack_block_params(params, depth)
+    if not scan_blocks and "blocks" in params:
+        return unstack_block_params(params, depth)
+    return params

@@ -96,7 +96,8 @@ class F5TTS:
     """Model bundle: DiT backbone + CFM + audio frontend + vocoder."""
 
     def __init__(self, config: F5Config, dtype: Any = jnp.float32,
-                 use_flash: bool | None = None, pad_to_multiple: int = 64) -> None:
+                 use_flash: bool | None = None, pad_to_multiple: int = 64,
+                 scan_blocks: bool | None = None) -> None:
         self.config = config
         m, a = config.model, config.audio
         self.n_mels = a.n_mels
@@ -114,13 +115,15 @@ class F5TTS:
             # inference (~1.5x attention) and the train step (~1.3x e2e)
             use_flash = jax.default_backend() == "tpu"
 
+        if scan_blocks is None:
+            scan_blocks = m.scan_blocks
         self.backbone = DiT(
             dim=m.dim, depth=m.depth, heads=m.heads, dim_head=m.dim_head,
             ff_mult=m.ff_mult, dropout=m.p_dropout, mel_dim=a.n_mels,
             vocab_size=m.vocab_size, text_dim=m.text_dim,
             conv_layers=m.conv_layers,
             gradient_checkpointing=config.gradient_checkpointing,
-            dtype=dtype, use_flash=use_flash,
+            dtype=dtype, use_flash=use_flash, scan_blocks=scan_blocks,
         )
         self.cfm = CFM(
             self.backbone,
@@ -131,9 +134,29 @@ class F5TTS:
                 n_mels=a.n_mels,
             ),
         )
-        self.variables: dict[str, Any] | None = None
+        self._variables: dict[str, Any] | None = None
         self._vocoder = None  # (module, variables) or "griffin_lim"
         self._sample_cache: dict[tuple, Any] = {}
+
+    @property
+    def variables(self) -> dict[str, Any] | None:
+        return self._variables
+
+    @variables.setter
+    def variables(self, value: dict[str, Any] | None) -> None:
+        # transparently re-layout DiT block params so checkpoints always
+        # live on disk in the unrolled block{i} layout, regardless of
+        # whether this model scans its blocks
+        if value is not None and "params" in value:
+            from oron_tts_tpu.models.dit import adapt_block_layout
+
+            params = adapt_block_layout(
+                dict(value["params"]),
+                self.backbone.depth,
+                self.backbone.scan_blocks,
+            )
+            value = {**value, "params": params}
+        self._variables = value
 
     # ── parameters ────────────────────────────────────────────────────────
 

@@ -1,0 +1,147 @@
+"""scan_blocks=True (lax.scan over stacked DiT blocks) numerical parity.
+
+The scanned variant exists to cut Base-config cold compile (VERDICT r1 #8);
+it must be bit-identical in math to the unrolled loop and interoperate with
+the on-disk unrolled ``block{i}`` checkpoint layout via the adapters in
+``oron_tts_tpu/models/dit.py``.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from oron_tts_tpu.config import F5Config, ModelConfig
+from oron_tts_tpu.models.dit import (
+    DiT,
+    adapt_block_layout,
+    stack_block_params,
+    unstack_block_params,
+)
+
+TINY = dict(
+    dim=64, depth=3, heads=2, dim_head=32, ff_mult=2, dropout=0.0,
+    mel_dim=8, vocab_size=65, text_dim=16, conv_layers=2,
+)
+
+
+def _inputs(T=24, B=2):
+    rng = jax.random.PRNGKey(7)
+    k1, k2, k3 = jax.random.split(rng, 3)
+    x = jax.random.normal(k1, (B, T, TINY["mel_dim"]))
+    cond = jax.random.normal(k2, (B, T, TINY["mel_dim"]))
+    text = jax.random.randint(k3, (B, T), 0, 65, dtype=jnp.int32)
+    t = jnp.asarray([0.3, 0.8])
+    mask = jnp.arange(T)[None, :] < jnp.asarray([[T], [T - 5]])[:, 0][:, None]
+    return x, cond, text, t, mask
+
+
+def test_scanned_matches_unrolled():
+    unrolled = DiT(**TINY, scan_blocks=False)
+    scanned = DiT(**TINY, scan_blocks=True)
+    x, cond, text, t, mask = _inputs()
+    params_u = unrolled.init(jax.random.PRNGKey(0), x, cond, text, t)["params"]
+    params_s = stack_block_params(dict(params_u), TINY["depth"])
+
+    out_u = unrolled.apply({"params": params_u}, x, cond, text, t, mask=mask)
+    out_s = scanned.apply({"params": params_s}, x, cond, text, t, mask=mask)
+    np.testing.assert_allclose(
+        np.asarray(out_u), np.asarray(out_s), atol=1e-5, rtol=1e-5
+    )
+
+
+def test_scanned_init_shapes_match_stacked_layout():
+    scanned = DiT(**TINY, scan_blocks=True)
+    unrolled = DiT(**TINY, scan_blocks=False)
+    x, cond, text, t, _ = _inputs()
+    ps = scanned.init(jax.random.PRNGKey(0), x, cond, text, t)["params"]
+    pu = unrolled.init(jax.random.PRNGKey(0), x, cond, text, t)["params"]
+    expected = stack_block_params(dict(pu), TINY["depth"])
+    flat_s = jax.tree_util.tree_map(lambda a: a.shape, ps)
+    flat_e = jax.tree_util.tree_map(lambda a: a.shape, expected)
+    assert flat_s == flat_e
+
+
+def test_stack_unstack_roundtrip():
+    unrolled = DiT(**TINY, scan_blocks=False)
+    x, cond, text, t, _ = _inputs()
+    params = unrolled.init(jax.random.PRNGKey(1), x, cond, text, t)["params"]
+    rt = unstack_block_params(
+        stack_block_params(dict(params), TINY["depth"]), TINY["depth"]
+    )
+    for (pa, a), (pb, b) in zip(
+        sorted(jax.tree_util.tree_flatten_with_path(params)[0],
+               key=lambda kv: str(kv[0])),
+        sorted(jax.tree_util.tree_flatten_with_path(rt)[0],
+               key=lambda kv: str(kv[0])),
+    ):
+        assert str(pa) == str(pb)
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_adapt_is_noop_when_layout_matches():
+    unrolled = DiT(**TINY, scan_blocks=False)
+    x, cond, text, t, _ = _inputs()
+    params = unrolled.init(jax.random.PRNGKey(2), x, cond, text, t)["params"]
+    assert adapt_block_layout(params, TINY["depth"], False) is params
+    stacked = stack_block_params(dict(params), TINY["depth"])
+    assert adapt_block_layout(stacked, TINY["depth"], True) is stacked
+
+
+def test_facade_setter_adapts_unrolled_checkpoint():
+    from oron_tts_tpu.models.f5tts import F5TTS
+
+    cfg = F5Config(model=ModelConfig(
+        dim=64, depth=3, heads=2, ff_mult=2, text_dim=16, conv_layers=2,
+        p_dropout=0.0,
+    ))
+    plain = F5TTS(cfg, use_flash=False)
+    plain.init_params(0)
+    scan = F5TTS(cfg, use_flash=False, scan_blocks=True)
+    # assign the unrolled-layout checkpoint; the setter must re-stack it
+    scan.variables = plain.variables
+    assert "blocks" in scan.variables["params"]
+    assert "block0" not in scan.variables["params"]
+
+    mel = jax.random.normal(jax.random.PRNGKey(3), (1, cfg.audio.n_mels, 32))
+    text = jax.random.randint(jax.random.PRNGKey(4), (1, 32), 0, 65, jnp.int32)
+    loss_u = plain.forward(mel, text, train=False)
+    loss_s = scan.forward(mel, text, train=False)
+    np.testing.assert_allclose(
+        float(loss_u), float(loss_s), rtol=1e-5, atol=1e-6
+    )
+
+
+def test_scanned_gradients_match(tmp_path):
+    """Train-path parity: CFM loss grads through scan == unrolled."""
+    from oron_tts_tpu.models.cfm import CFM, CFMConfig
+
+    x, cond, text, t, _ = _inputs()
+    unrolled = DiT(**TINY, scan_blocks=False)
+    scanned = DiT(**TINY, scan_blocks=True, gradient_checkpointing=True)
+    params_u = unrolled.init(jax.random.PRNGKey(5), x, cond, text, t)["params"]
+    params_s = stack_block_params(dict(params_u), TINY["depth"])
+
+    mel = jax.random.normal(jax.random.PRNGKey(6), (2, 24, TINY["mel_dim"]))
+    lens = jnp.asarray([24, 19], jnp.int32)
+    key = jax.random.PRNGKey(9)
+
+    def loss_u(p):
+        return CFM(unrolled, CFMConfig(n_mels=TINY["mel_dim"])).loss(
+            {"params": p}, mel, text, lens, key, train=True
+        )
+
+    def loss_s(p):
+        return CFM(scanned, CFMConfig(n_mels=TINY["mel_dim"])).loss(
+            {"params": p}, mel, text, lens, key, train=True
+        )
+
+    gu = jax.grad(loss_u)(params_u)
+    gs = jax.grad(loss_s)(params_s)
+    gu_stacked = stack_block_params(dict(gu), TINY["depth"])
+    a = jax.tree_util.tree_leaves(gu_stacked)
+    b = jax.tree_util.tree_leaves(gs)
+    assert len(a) == len(b)
+    for xa, xb in zip(a, b):
+        np.testing.assert_allclose(
+            np.asarray(xa), np.asarray(xb), atol=2e-5, rtol=2e-4
+        )
