@@ -220,6 +220,16 @@ def export_dit_state_dict(params: Mapping[str, Any]) -> dict[str, np.ndarray]:
     into the PyTorch reference (strict=True modulo RoPE's inv_freq buffer,
     which torch re-derives from config).
     """
+    if "blocks" in params:
+        # scan_blocks models hold one stacked [depth, ...] subtree; the
+        # torch contract is per-block keys, so unstack first
+        import jax
+
+        from oron_tts_tpu.models.dit import unstack_block_params
+
+        leaves = jax.tree_util.tree_leaves(params["blocks"])
+        params = unstack_block_params(dict(params), int(leaves[0].shape[0]))
+
     sd: dict[str, np.ndarray] = {}
     _t_linear(sd, "time_embed.time_mlp.0", params["time_embed"]["mlp_in"])
     _t_linear(sd, "time_embed.time_mlp.2", params["time_embed"]["mlp_out"])

@@ -111,6 +111,20 @@ def test_facade_setter_adapts_unrolled_checkpoint():
     )
 
 
+def test_export_handles_stacked_layout():
+    """torch export from a scan_blocks model == export from unrolled."""
+    from oron_tts_tpu.utils.torch_compat import export_dit_state_dict
+
+    unrolled = DiT(**TINY, scan_blocks=False)
+    x, cond, text, t, _ = _inputs()
+    params = unrolled.init(jax.random.PRNGKey(8), x, cond, text, t)["params"]
+    sd_u = export_dit_state_dict(params)
+    sd_s = export_dit_state_dict(stack_block_params(dict(params), TINY["depth"]))
+    assert sd_u.keys() == sd_s.keys()
+    for k in sd_u:
+        np.testing.assert_array_equal(sd_u[k], sd_s[k])
+
+
 def test_scanned_gradients_match(tmp_path):
     """Train-path parity: CFM loss grads through scan == unrolled."""
     from oron_tts_tpu.models.cfm import CFM, CFMConfig
