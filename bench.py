@@ -36,6 +36,29 @@ if str(REPO_ROOT) not in sys.path:
 TARGET_RTF = 0.05
 
 
+def random_params_like(module, shapes, seed: int = 0, scale: float = 0.02):
+    """Host-side random params for a flax shape tree, one device upload.
+
+    Leaves named "scale" (LayerNorm) get ones; other vectors get zeros
+    (biases); matrices/kernels get N(0, scale²).
+    """
+    import jax
+    import numpy as np
+
+    nprng = np.random.default_rng(seed)
+
+    def make(path, s):
+        name = str(path[-1]) if path else ""
+        if "scale" in name:
+            return np.ones(s.shape, s.dtype)
+        if len(s.shape) >= 2:
+            return (nprng.standard_normal(s.shape) * scale).astype(s.dtype)
+        return np.zeros(s.shape, s.dtype)
+
+    host = jax.tree_util.tree_map_with_path(make, shapes)
+    return jax.device_put(host, jax.devices()[0])
+
+
 def main() -> None:
     from oron_tts_tpu.utils.cache import enable_compilation_cache
 
@@ -54,13 +77,14 @@ def main() -> None:
     import os
 
     use_flash = os.environ.get("ORON_BENCH_FLASH", "1") != "0"
+    scan_blocks = os.environ.get("ORON_BENCH_SCAN", "1") != "0"
     # Base config, bf16 compute
     model = DiT(
         dim=1024, depth=22, heads=16, dim_head=64, ff_mult=4,
         dropout=0.0, mel_dim=100, vocab_size=65, text_dim=512, conv_layers=4,
-        dtype=jnp.bfloat16, use_flash=use_flash,
+        dtype=jnp.bfloat16, use_flash=use_flash, scan_blocks=scan_blocks,
     )
-    print(f"# use_flash={use_flash}", file=sys.stderr)
+    print(f"# use_flash={use_flash} scan_blocks={scan_blocks}", file=sys.stderr)
     cfm = CFM(model, CFMConfig())
     vocoder = VocosDecoder(dtype=jnp.bfloat16)
 
@@ -73,16 +97,23 @@ def main() -> None:
     rng = jax.random.PRNGKey(0)
     k1, k2, k3 = jax.random.split(rng, 3)
     T = bucket
-    x = jnp.zeros((1, T, 100), jnp.float32)
     text = jax.random.randint(k1, (1, T), 0, 65, dtype=jnp.int32)
-    variables = model.init(k2, x, x, text, jnp.zeros((1,)))
-    # zero-init proj_out makes the ODE trivial; randomize for a honest run
-    variables = jax.tree_util.tree_map(
-        lambda a: jax.random.normal(k3, a.shape, a.dtype) * 0.02
-        if a.ndim >= 2 else a,
-        variables,
+    # Cold-start-honest param creation: flax init on this backend eagerly
+    # runs a Base forward through the tunnel (~95 s) and per-leaf fetches of
+    # lazy jit(init) outputs cost seconds EACH, so params are generated
+    # host-side from eval_shape and uploaded in one device_put. Randomized
+    # (zero-init proj_out would make the ODE trivial); "scale" leaves get
+    # ones so LayerNorms pass signal.
+    variables = random_params_like(
+        model, jax.eval_shape(
+            model.init, k2, jnp.zeros((1, 64, 100)), jnp.zeros((1, 64, 100)),
+            jnp.zeros((1, 64), jnp.int32), jnp.zeros((1,)),
+        ),
     )
-    voc_vars = vocoder.init(k2, jnp.zeros((1, 100, T), jnp.float32))
+    voc_vars = random_params_like(
+        vocoder,
+        jax.eval_shape(vocoder.init, k2, jnp.zeros((1, 100, 64), jnp.float32)),
+    )
 
     cond = jnp.zeros((1, bucket, 100), jnp.float32)
     duration = jnp.asarray([t_total], jnp.int32)
@@ -188,9 +219,12 @@ def bench_train_step(jax, jnp) -> dict:
     cfm = CFM(model, CFMConfig())
     rng = jax.random.PRNGKey(0)
     k1, k2, k3 = jax.random.split(rng, 3)
-    x = jnp.zeros((1, T, 100), jnp.float32)
-    text1 = jnp.zeros((1, T), jnp.int32)
-    variables = model.init(k1, x, x, text1, jnp.zeros((1,)))
+    variables = random_params_like(
+        model, jax.eval_shape(
+            model.init, k1, jnp.zeros((1, 64, 100)), jnp.zeros((1, 64, 100)),
+            jnp.zeros((1, 64), jnp.int32), jnp.zeros((1,)),
+        ), seed=1,
+    )
 
     tx = make_optimizer(make_lr_schedule(1e-4, 1000, 100000))
     params = variables["params"]

@@ -9,8 +9,14 @@ if str(REPO_ROOT) not in sys.path:
     sys.path.insert(0, str(REPO_ROOT))
 
 
-def load_model(checkpoint_path: str, use_ema: bool = True):
-    """Load F5TTS from a native .npz / torch .pt checkpoint or a directory."""
+def load_model(checkpoint_path: str, use_ema: bool = True,
+               scan_blocks: bool | None = None):
+    """Load F5TTS from a native .npz / torch .pt checkpoint or a directory.
+
+    scan_blocks=True iterates the DiT blocks with lax.scan — identical
+    numerics, ~depth× faster cold compile (recommended for serving);
+    None defers to the checkpoint config's model.scan_blocks.
+    """
     from oron_tts_tpu.config import F5Config
     from oron_tts_tpu.models.f5tts import F5TTS
     from oron_tts_tpu.train.checkpoint import CheckpointManager, load_pytree_npz
@@ -25,7 +31,7 @@ def load_model(checkpoint_path: str, use_ema: bool = True):
     ckpt_dir = path if path.is_dir() else path.parent
     cm = CheckpointManager(str(ckpt_dir))
     config = cm.load_config() or {}
-    model = F5TTS.from_config(F5Config.from_dict(config))
+    model = F5TTS.from_config(F5Config.from_dict(config), scan_blocks=scan_blocks)
 
     if path.is_dir():
         found = cm.latest_checkpoint() or (
@@ -100,6 +106,9 @@ def main() -> None:
                         help="Vocoder checkpoint (.npz or torch Vocos)")
     parser.add_argument("--device", type=str, default=None,
                         help="JAX platform override (cpu/tpu)")
+    parser.add_argument("--scan-blocks", action="store_true", default=None,
+                        help="Iterate DiT blocks with lax.scan: identical "
+                             "output, ~depth× faster cold compile")
     args = parser.parse_args()
 
     if args.device:
@@ -121,7 +130,8 @@ def main() -> None:
             "--duration are per-utterance — use --text for those"
         )
 
-    model = load_model(args.checkpoint, use_ema=not args.no_ema)
+    model = load_model(args.checkpoint, use_ema=not args.no_ema,
+                       scan_blocks=args.scan_blocks)
     if args.vocoder:
         model.load_vocoder(args.vocoder)
     print(f"Model loaded. Parameters: {model.num_params():,}")

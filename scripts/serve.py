@@ -119,6 +119,10 @@ def main() -> None:
     parser.add_argument("--no-ema", action="store_true")
     parser.add_argument("--warmup", action="store_true",
                         help="Pre-compile the default chunk bucket at startup")
+    parser.add_argument("--no-scan-blocks", action="store_true",
+                        help="Use the unrolled DiT block loop instead of "
+                             "lax.scan (identical numerics; scan compiles "
+                             "~depth× faster, so it is the serving default)")
     parser.add_argument("--device", type=str, default=None)
     args = parser.parse_args()
 
@@ -131,7 +135,8 @@ def main() -> None:
     enable_compilation_cache()
     from scripts.infer import load_model
 
-    _model = load_model(args.checkpoint, use_ema=not args.no_ema)
+    _model = load_model(args.checkpoint, use_ema=not args.no_ema,
+                        scan_blocks=not args.no_scan_blocks)
     if args.vocoder:
         _model.load_vocoder(args.vocoder)
     _meta["params"] = _model.num_params()
