@@ -1,0 +1,161 @@
+"""Evaluate a trained vocoder checkpoint and optionally ship it as the
+bundled default (``oron_tts_tpu/assets/vocoder/vocos_default.npz``).
+
+Metrics on held-out clips (never seen by the trainer when --holdout-seed
+differs from the training corpus split): log-mel L1 and multi-resolution
+STFT loss of resynthesized audio, with the Griffin-Lim fallback measured
+on the same clips as the floor to beat. The reference sidesteps all this
+by downloading charactr/vocos-mel-24khz (f5tts.py:190-202); in an offline
+deployment the bundled checkpoint fills that role.
+
+    python scripts/eval_vocoder.py --checkpoint /tmp/vocoder_run \
+        --data-dir /tmp/synth_speech --clips 32 [--ship]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+from pathlib import Path
+
+REPO_ROOT = Path(__file__).resolve().parent.parent
+if str(REPO_ROOT) not in sys.path:
+    sys.path.insert(0, str(REPO_ROOT))
+
+ASSET_DIR = REPO_ROOT / "oron_tts_tpu" / "assets" / "vocoder"
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--checkpoint", type=str, required=True,
+                    help=".npz file or checkpoint dir (latest vocos_step_*)")
+    ap.add_argument("--data-dir", type=str, required=True,
+                    help="metadata.json corpus for held-out evaluation")
+    ap.add_argument("--clips", type=int, default=32)
+    ap.add_argument("--seconds", type=float, default=2.0,
+                    help="evaluated length per clip")
+    ap.add_argument("--holdout-frac", type=float, default=0.05,
+                    help="last fraction of the corpus treated as held out")
+    ap.add_argument("--griffin-lim", action="store_true",
+                    help="also measure the Griffin-Lim fallback (slow)")
+    ap.add_argument("--ship", action="store_true",
+                    help="copy params (f32, no optimizer state) + config to "
+                         "the bundled asset path")
+    ap.add_argument("--device", type=str, default=None)
+    args = ap.parse_args()
+
+    if args.device:
+        import jax
+
+        jax.config.update("jax_platforms", args.device)
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from oron_tts_tpu.data.wav import normalize_peak, read_wav, resample
+    from oron_tts_tpu.models.vocos import VocosDecoder
+    from oron_tts_tpu.ops.mel import MelConfig, log_mel_spectrogram
+    from oron_tts_tpu.train.checkpoint import load_pytree_npz
+    from oron_tts_tpu.train.vocoder import multi_resolution_stft_loss
+
+    ckpt = Path(args.checkpoint)
+    if ckpt.is_dir():
+        steps = sorted(ckpt.glob("vocos_step_*.npz"))
+        if not steps:
+            raise SystemExit(f"no vocos_step_*.npz in {ckpt}")
+        ckpt = steps[-1]
+    trees, meta = load_pytree_npz(ckpt)
+    params = trees.get("ema") or trees.get("params") or trees
+    cfg_path = ckpt.parent / "config.json"
+    voc_cfg = json.loads(cfg_path.read_text()) if cfg_path.exists() else {}
+    print(f"checkpoint: {ckpt} (step {meta.get('step', '?')}) config={voc_cfg}")
+
+    mel_cfg = MelConfig()
+    vocoder = VocosDecoder(
+        dim=voc_cfg.get("dim", 512),
+        n_layers=voc_cfg.get("n_layers", 8),
+        intermediate_dim=voc_cfg.get("intermediate_dim", 1536),
+        head_mode=voc_cfg.get("head_mode", "real_imag"),
+        layer_scale=bool(voc_cfg.get("layer_scale", False)),
+    )
+
+    metadata = json.loads((Path(args.data_dir) / "metadata.json").read_text())
+    n_hold = max(args.clips, int(len(metadata) * args.holdout_frac))
+    held = metadata[-n_hold:][: args.clips]
+    crop = int(args.seconds * mel_cfg.sample_rate)
+    crop -= crop % mel_cfg.hop_length
+
+    wavs = []
+    for m in held:
+        wav, sr = read_wav(m["audio_path"])
+        if wav.ndim > 1:
+            wav = wav.mean(axis=1)
+        if sr != mel_cfg.sample_rate:
+            wav = resample(wav, sr, mel_cfg.sample_rate)
+        wav = normalize_peak(wav.astype(np.float32))
+        if len(wav) < crop:
+            wav = np.pad(wav, (0, crop - len(wav)))
+        wavs.append(wav[:crop])
+    target = jnp.asarray(np.stack(wavs))
+    t_frames = crop // mel_cfg.hop_length
+    mel = log_mel_spectrogram(target, mel_cfg)[..., :t_frames]
+
+    @jax.jit
+    def scores(params, mel, target):
+        pred = vocoder.apply({"params": params}, mel)
+        n = min(pred.shape[-1], target.shape[-1])
+        pred, tgt = pred[:, :n], target[:, :n]
+        mel_l1 = jnp.mean(jnp.abs(
+            log_mel_spectrogram(pred, mel_cfg)
+            - log_mel_spectrogram(tgt, mel_cfg)
+        ))
+        return multi_resolution_stft_loss(pred, tgt), mel_l1, pred
+
+    mr, mel_l1, pred = scores(params, mel, target)
+    print(f"vocoder: MR-STFT {float(mr):.4f}  mel-L1 {float(mel_l1):.4f} "
+          f"({len(held)} held-out clips x {args.seconds:.1f}s)")
+
+    result = {"checkpoint": str(ckpt), "step": int(meta.get("step", 0)),
+              "clips": len(held), "mr_stft": round(float(mr), 4),
+              "mel_l1": round(float(mel_l1), 4)}
+
+    if args.griffin_lim:
+        from oron_tts_tpu.ops.griffin_lim import griffin_lim
+
+        gl_mr, gl_mel = [], []
+        for i in range(len(held)):
+            gl = griffin_lim(np.asarray(mel[i])[None], mel_cfg, n_iter=32)[0]
+            n = min(len(gl), crop)
+            gl_j = jnp.asarray(gl[:n])[None]
+            tgt_j = target[i:i + 1, :n]
+            gl_mr.append(float(multi_resolution_stft_loss(gl_j, tgt_j)))
+            gl_mel.append(float(jnp.mean(jnp.abs(
+                log_mel_spectrogram(gl_j, mel_cfg)
+                - log_mel_spectrogram(tgt_j, mel_cfg)
+            ))))
+        print(f"griffin-lim floor: MR-STFT {np.mean(gl_mr):.4f}  "
+              f"mel-L1 {np.mean(gl_mel):.4f}")
+        result["griffin_lim_mr_stft"] = round(float(np.mean(gl_mr)), 4)
+        result["griffin_lim_mel_l1"] = round(float(np.mean(gl_mel)), 4)
+
+    if args.ship:
+        from oron_tts_tpu.train.checkpoint import save_pytree_npz
+
+        ASSET_DIR.mkdir(parents=True, exist_ok=True)
+        out = ASSET_DIR / "vocos_default.npz"
+        params_np = jax.tree_util.tree_map(np.asarray, params)
+        save_pytree_npz(out, {"params": params_np},
+                        meta={"step": int(meta.get("step", 0)),
+                              "eval_mr_stft": float(mr),
+                              "eval_mel_l1": float(mel_l1)})
+        (ASSET_DIR / "config.json").write_text(json.dumps(voc_cfg))
+        (ASSET_DIR / "EVAL.json").write_text(json.dumps(result, indent=1))
+        print(f"shipped default vocoder -> {out} "
+              f"({out.stat().st_size / 1e6:.1f} MB)")
+
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -28,8 +28,16 @@ def main() -> None:
     parser.add_argument("--learning-rate", type=float, default=2e-4)
     parser.add_argument("--dim", type=int, default=512)
     parser.add_argument("--n-layers", type=int, default=8)
+    parser.add_argument("--head-mode", type=str, default="mag_phase",
+                        choices=["mag_phase", "real_imag"],
+                        help="mag_phase (official Vocos parametrization; "
+                             "trains far better from scratch) or real_imag "
+                             "(the reference stub's head)")
     parser.add_argument("--save-interval", type=int, default=5000)
     parser.add_argument("--log-interval", type=int, default=100)
+    parser.add_argument("--holdout-frac", type=float, default=0.05,
+                        help="Tail fraction of the corpus excluded from "
+                             "training (eval_vocoder.py scores on it)")
     parser.add_argument("--resume", action="store_true")
     parser.add_argument("--gan", action="store_true",
                         help="Enable the adversarial stage (MPD+MRD, LSGAN)")
@@ -61,6 +69,11 @@ def main() -> None:
     )
 
     metadata = json.loads((Path(args.data_dir) / "metadata.json").read_text())
+    if args.holdout_frac > 0:
+        n_hold = int(len(metadata) * args.holdout_frac)
+        if n_hold:
+            metadata = metadata[:-n_hold]
+            print(f"Holding out last {n_hold} clips for evaluation")
     mel_cfg = MelConfig()
     print(f"Loading {len(metadata)} clips...")
     audios = []
@@ -73,7 +86,8 @@ def main() -> None:
         audios.append(normalize_peak(wav.astype(np.float32)))
 
     vocoder = VocosDecoder(dim=args.dim, n_layers=args.n_layers,
-                           intermediate_dim=args.dim * 3)
+                           intermediate_dim=args.dim * 3,
+                           head_mode=args.head_mode)
     mels0, _ = crop_batch(audios[:1], mel_cfg, args.crop_frames,
                           np.random.default_rng(0))
     variables = vocoder.init(jax.random.PRNGKey(0), mels0)
@@ -140,7 +154,7 @@ def main() -> None:
     t0 = time.monotonic()
     voc_config = {"dim": args.dim, "n_layers": args.n_layers,
                   "intermediate_dim": args.dim * 3,
-                  "head_mode": "real_imag"}
+                  "head_mode": args.head_mode}
 
     if args.gan:
         # adversarial stage keeps the host-batched path (separate d/g jits)
