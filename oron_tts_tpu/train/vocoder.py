@@ -281,6 +281,109 @@ def feature_matching_loss(real_feats: list[list[jnp.ndarray]],
     return loss / max(n, 1)
 
 
+def make_gan_superstep(
+    vocoder: Any,
+    discriminator: Any,
+    g_tx: optax.GradientTransformation,
+    d_tx: optax.GradientTransformation,
+    mel_cfg: MelConfig,
+    crop_len: int,
+    k_steps: int,
+    adv_weight: float = 1.0,
+    fm_weight: float = 2.0,
+    mel_weight: float = 15.0,
+):
+    """K adversarial (d-step, g-step) pairs per dispatch, device-resident.
+
+    Same dispatch-amortization as make_vocoder_superstep: the host only
+    samples crop start indices [K, B]; waveform gathering, mel extraction,
+    both optimizer updates, and the non-finite guards run inside one jit.
+    Returns step_fn(g_params, g_opt, d_params, d_opt, flat, starts) →
+    (g_params, g_opt, d_params, d_opt, metrics[K, 4]) where metrics rows
+    are (g_loss, d_loss, mel_l1, g_gnorm).
+    """
+
+    def _guarded(tx, grads, opt_state, params, ok):
+        safe = jax.tree_util.tree_map(
+            lambda g: jnp.where(ok, g, jnp.zeros_like(g)), grads
+        )
+        updates, new_opt = tx.update(safe, opt_state, params)
+        new_params = optax.apply_updates(params, updates)
+        pick = functools.partial(
+            jax.tree_util.tree_map, lambda a, b: jnp.where(ok, a, b)
+        )
+        return pick(new_params, params), pick(new_opt, opt_state)
+
+    @jax.jit
+    def superstep(g_params, g_opt, d_params, d_opt, flat, starts):
+        def gather(batch_starts):
+            return jax.vmap(
+                lambda s: jax.lax.dynamic_slice(flat, (s,), (crop_len,))
+            )(batch_starts)
+
+        def one(carry, batch_starts):
+            g_params, g_opt, d_params, d_opt = carry
+            wav = gather(batch_starts)
+            mel = log_mel_spectrogram(wav, mel_cfg)[
+                ..., : crop_len // mel_cfg.hop_length
+            ]
+
+            # discriminator update on the CURRENT generator's output
+            fake = jax.lax.stop_gradient(
+                vocoder.apply({"params": g_params}, mel)
+            )
+            n = min(fake.shape[-1], wav.shape[-1])
+            fake_c, real_c = fake[:, :n], wav[:, :n]
+
+            def d_loss_fn(dp):
+                real_logits, _ = discriminator.apply({"params": dp}, real_c)
+                fake_logits, _ = discriminator.apply({"params": dp}, fake_c)
+                return lsgan_d_loss(real_logits, fake_logits)
+
+            d_loss, d_grads = jax.value_and_grad(d_loss_fn)(d_params)
+            d_gnorm = optax.global_norm(d_grads)
+            d_ok = jnp.isfinite(d_loss) & jnp.isfinite(d_gnorm)
+            d_params, d_opt = _guarded(d_tx, d_grads, d_opt, d_params, d_ok)
+
+            # generator update against the UPDATED discriminator
+            def g_loss_fn(gp):
+                out = vocoder.apply({"params": gp}, mel)[:, :n]
+                fake_logits, fake_feats = discriminator.apply(
+                    {"params": d_params}, out
+                )
+                _, real_feats = discriminator.apply(
+                    {"params": d_params}, real_c
+                )
+                adv = lsgan_g_loss(fake_logits)
+                fm = feature_matching_loss(real_feats, fake_feats)
+                stft = multi_resolution_stft_loss(out, real_c)
+                mel_l1 = jnp.mean(jnp.abs(
+                    log_mel_spectrogram(out, mel_cfg)
+                    - log_mel_spectrogram(real_c, mel_cfg)
+                ))
+                total = (adv_weight * adv + fm_weight * fm + stft
+                         + mel_weight * mel_l1)
+                return total, mel_l1
+
+            (g_loss, mel_l1), g_grads = jax.value_and_grad(
+                g_loss_fn, has_aux=True
+            )(g_params)
+            g_gnorm = optax.global_norm(g_grads)
+            g_ok = jnp.isfinite(g_loss) & jnp.isfinite(g_gnorm)
+            g_params, g_opt = _guarded(g_tx, g_grads, g_opt, g_params, g_ok)
+
+            metrics = jnp.stack([g_loss, d_loss, mel_l1, g_gnorm])
+            return (g_params, g_opt, d_params, d_opt), metrics
+
+        carry, metrics = jax.lax.scan(
+            one, (g_params, g_opt, d_params, d_opt), starts
+        )
+        g_params, g_opt, d_params, d_opt = carry
+        return g_params, g_opt, d_params, d_opt, metrics
+
+    return superstep
+
+
 def make_gan_train_steps(
     vocoder: Any,
     discriminator: Any,

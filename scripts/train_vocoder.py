@@ -125,12 +125,35 @@ def main() -> None:
             start_step = int(info.get("step", 0))
             print(f"Resumed from step {start_step}")
 
-    d_params = d_opt = g_step_fn = d_step_fn = None
-    d_cm = None
+    rng = np.random.default_rng(1)
+    t0 = time.monotonic()
+    voc_config = {"dim": args.dim, "n_layers": args.n_layers,
+                  "intermediate_dim": args.dim * 3,
+                  "head_mode": args.head_mode}
+
+    # device-resident corpus for both stages: the host only samples crop
+    # start indices; K steps run per dispatch
+    import jax.numpy as jnp
+
+    flat_np, offsets, max_starts = pack_corpus(audios, crop_len)
+    flat = jnp.asarray(flat_np)
+    print(f"Corpus on device: {flat_np.nbytes/1e6:.0f} MB, "
+          f"{len(audios)} clips; {k_steps} steps/dispatch", flush=True)
+
+    def sample_starts() -> np.ndarray:
+        clips = rng.integers(0, len(audios), size=(k_steps, args.batch_size))
+        within = rng.random((k_steps, args.batch_size))
+        return (offsets[clips]
+                + (within * (max_starts[clips] + 1)).astype(np.int64)
+                ).astype(np.int32)
+
     if args.gan:
         from oron_tts_tpu.models.discriminators import VocoderDiscriminator
-        from oron_tts_tpu.train.vocoder import make_gan_train_steps
+        from oron_tts_tpu.train.vocoder import make_gan_superstep
 
+        if start_step == 0 and args.gan_start_step > 0:
+            raise SystemExit("--gan with --gan-start-step>0 needs a "
+                             "pretrained --resume checkpoint")
         disc = VocoderDiscriminator()
         _, wavs0 = crop_batch(audios[:1], mel_cfg, args.crop_frames,
                               np.random.default_rng(0))
@@ -139,69 +162,49 @@ def main() -> None:
                            optax.adamw(args.disc_lr, b1=0.8, b2=0.99))
         d_opt = d_tx.init(d_params)
         g_tx2 = optax.chain(optax.clip_by_global_norm(1.0),
-                            optax.adamw(schedule, b1=0.8, b2=0.99))
+                            optax.adamw(args.learning_rate, b1=0.8, b2=0.99))
         g_opt2 = g_tx2.init(params)
-        g_step_fn, d_step_fn = make_gan_train_steps(
-            vocoder, disc, g_tx2, d_tx, mel_cfg
+        gan_step_fn = make_gan_superstep(
+            vocoder, disc, g_tx2, d_tx, mel_cfg, crop_len, k_steps
         )
         d_cm = CheckpointManager(args.checkpoint_dir, model_name="vocos_disc",
                                  max_checkpoints=1)
         d_info = d_cm.load() if args.resume else {}
         if d_info.get("params") is not None:
             d_params = d_info["params"]
+            if d_info.get("opt") is not None:
+                d_opt = jax.tree_util.tree_unflatten(
+                    jax.tree_util.tree_structure(d_opt),
+                    jax.tree_util.tree_leaves(d_info["opt"]),
+                )
 
-    rng = np.random.default_rng(1)
-    t0 = time.monotonic()
-    voc_config = {"dim": args.dim, "n_layers": args.n_layers,
-                  "intermediate_dim": args.dim * 3,
-                  "head_mode": args.head_mode}
-
-    if args.gan:
-        # adversarial stage keeps the host-batched path (separate d/g jits)
-        for step in range(start_step, args.steps):
-            idx = rng.choice(len(audios), size=args.batch_size)
-            mels, wavs = crop_batch([audios[i] for i in idx], mel_cfg,
-                                    args.crop_frames, rng)
-            gan_active = step >= args.gan_start_step
-            if gan_active:
-                d_params, d_opt, d_loss = d_step_fn(d_params, d_opt, params,
-                                                    mels, wavs)
-                params, g_opt2, loss, aux = g_step_fn(params, g_opt2,
-                                                      d_params, mels, wavs)
-                gnorm = aux[0]
-            else:
-                raise SystemExit("--gan with --gan-start-step>0 needs a "
-                                 "pretrained --resume checkpoint")
-            if (step + 1) % args.log_interval == 0:
-                rate = (step + 1 - start_step) / (time.monotonic() - t0)
-                print(f"step {step + 1}/{args.steps} | "
-                      f"loss={float(loss):.4f} | adv={float(gnorm):.3f} | "
-                      f"d_loss={float(d_loss):.4f} | {rate:.1f} it/s",
-                      flush=True)
-            if (step + 1) % args.save_interval == 0 or step + 1 == args.steps:
-                cm.save(step + 1, params, loss=float(loss), config=voc_config)
-                if d_params is not None and d_cm is not None:
-                    d_cm.save(step + 1, d_params)
+        step = start_step
+        while step < args.steps:
+            k = min(k_steps, args.steps - step)
+            params, g_opt2, d_params, d_opt, metrics = gan_step_fn(
+                params, g_opt2, d_params, d_opt, flat, sample_starts()
+            )
+            step += k
+            if (step // k_steps) % max(1, args.log_interval // k_steps) == 0 \
+                    or step >= args.steps:
+                m = np.asarray(metrics)[:k]
+                rate = (step - start_step) / (time.monotonic() - t0)
+                print(f"step {step}/{args.steps} | g={m[-1, 0]:.4f} "
+                      f"d={m[-1, 1]:.4f} mel={m[-1, 2]:.4f} "
+                      f"(window mel {np.nanmean(m[:, 2]):.4f}) | "
+                      f"gnorm={m[-1, 3]:.2f} | {rate:.1f} it/s", flush=True)
+            if step % args.save_interval < k or step >= args.steps:
+                m = np.asarray(metrics)[:k]
+                cm.save(step, params, loss=float(m[-1, 0]), config=voc_config)
+                d_cm.save(step, d_params, opt_state=d_opt)
         print(f"Done. Use: infer.py --vocoder {cm.latest_checkpoint()}")
         return
-
-    # MR-STFT stage: device-resident corpus, K steps per dispatch
-    import jax.numpy as jnp
-
-    flat_np, offsets, max_starts = pack_corpus(audios, crop_len)
-    flat = jnp.asarray(flat_np)
-    print(f"Corpus on device: {flat_np.nbytes/1e6:.0f} MB, "
-          f"{len(audios)} clips; {k_steps} steps/dispatch", flush=True)
 
     step = start_step
     while step < args.steps:
         k = min(k_steps, args.steps - step)
-        clips = rng.integers(0, len(audios), size=(k_steps, args.batch_size))
-        within = rng.random((k_steps, args.batch_size))
-        starts = (offsets[clips]
-                  + (within * (max_starts[clips] + 1)).astype(np.int64))
         params, opt_state, losses, gnorms = step_fn(
-            params, opt_state, flat, starts.astype(np.int32)
+            params, opt_state, flat, sample_starts()
         )
         step += k
         if (step // k_steps) % max(1, args.log_interval // k_steps) == 0 \
