@@ -104,3 +104,25 @@ def test_spectral_gate_reduces_noise():
     out2 = den.denoise(noisy, sr)
     assert np.isfinite(out2).all()
     assert abs(len(out2) - len(noisy)) < 64  # 48k round-trip keeps length
+
+
+def test_grouped_conv1d_matches_xla_grouped_conv():
+    """GroupedConv1d (shifted grouped matmuls) == nn.Conv with
+    feature_group_count, same param layout (layers.py:GroupedConv1d)."""
+    import flax.linen as nn
+    import jax
+    import jax.numpy as jnp
+
+    from oron_tts_tpu.models.layers import GroupedConv1d
+
+    C, G, K = 64, 16, 31
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 37, C))
+    ref = nn.Conv(C, kernel_size=(K,), padding="SAME", feature_group_count=G)
+    mine = GroupedConv1d(C, kernel_size=K, groups=G)
+    v = ref.init(jax.random.PRNGKey(1), x)
+    v = jax.tree_util.tree_map(lambda a: a + 0.05, v)  # non-zero bias
+    assert jax.tree_util.tree_structure(v) == jax.tree_util.tree_structure(
+        mine.init(jax.random.PRNGKey(2), x)
+    )
+    diff = jnp.abs(ref.apply(v, x) - mine.apply(v, x)).max()
+    assert float(diff) < 1e-5
