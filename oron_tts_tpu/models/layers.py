@@ -104,9 +104,12 @@ class GroupedConv1d(nn.Module):
 
     Same parameter layout as ``nn.Conv(dim, (k,), feature_group_count=g)``
     (kernel [k, cin/g, dim], bias [dim]) so checkpoints and the torch
-    converters are unaffected, but XLA's grouped-convolution path — which
-    ran ConvPositionEmbedding at ~1.3 ms/forward on v5e (Base, T=1664) —
-    is replaced by per-shift ``btgi,igo`` einsums the MXU handles well.
+    converters are unaffected. Measured on v5e (Base, T=1664): ~0.6 ms/
+    forward faster than XLA's grouped-convolution path in-model (RTF
+    0.0443 → 0.0403) — but XLA compile time for the 31-einsum graph is
+    pathological (~173 s for one fwd+bwd vs 19 s for nn.Conv, and +250 s
+    on the Base synthesize path), so ConvPositionEmbedding does NOT use
+    it by default. Kept for experimentation.
     """
 
     dim: int
@@ -158,10 +161,11 @@ class ConvPositionEmbedding(nn.Module):
             m = mask[..., None]
             x = jnp.where(m, x, 0.0)
         for name in ("conv1", "conv2"):
-            x = GroupedConv1d(
+            x = nn.Conv(
                 self.dim,
-                kernel_size=self.kernel_size,
-                groups=self.groups,
+                kernel_size=(self.kernel_size,),
+                padding="SAME",
+                feature_group_count=self.groups,
                 dtype=self.dtype,
                 name=name,
             )(x)
