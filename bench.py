@@ -254,6 +254,14 @@ def bench_train_step(jax, jnp) -> dict:
     compile_s = time.perf_counter() - t0
     print(f"# train compile+first-step: {compile_s:.1f}s loss={loss0:.3f}",
           file=sys.stderr)
+    # second warmup: the donated-buffer call signature triggers ONE more
+    # XLA compile (output layouts differ from the fresh input arrays); it
+    # must not land inside the timed loop (it once read as a 23.7 s "step")
+    t0 = time.perf_counter()
+    state, metrics = step(state, batch, jax.random.fold_in(k1, 999))
+    float(metrics["loss"])
+    print(f"# train donation recompile: {time.perf_counter()-t0:.1f}s",
+          file=sys.stderr)
 
     iters = 8
     t0 = time.perf_counter()
