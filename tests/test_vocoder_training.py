@@ -129,3 +129,40 @@ def test_discriminators_and_gan_steps():
                         jax.tree_util.tree_leaves(g_params2))
     )
     assert moved
+
+
+def test_gan_superstep_updates_and_guards():
+    """make_gan_superstep: K (d,g) pairs per dispatch on a device-resident
+    corpus; both param sets move, metrics are [K, 4] and finite."""
+    from oron_tts_tpu.models.discriminators import VocoderDiscriminator
+    from oron_tts_tpu.train.vocoder import make_gan_superstep
+
+    rng = np.random.default_rng(5)
+    crop_len = 8 * CFG.hop_length
+    flat = jnp.asarray(
+        (0.2 * rng.standard_normal(4 * crop_len)).astype(np.float32)
+    )
+    vocoder = VocosDecoder(n_mels=100, dim=32, n_layers=1, intermediate_dim=64)
+    disc = VocoderDiscriminator(periods=(2,), resolutions=((512, 128),))
+    mels0 = rng.standard_normal((2, 100, 8)).astype(np.float32) - 8.0
+    g_params = vocoder.init(jax.random.PRNGKey(0), mels0)["params"]
+    d_params = disc.init(
+        jax.random.PRNGKey(1), np.zeros((2, crop_len), np.float32)
+    )["params"]
+    g_tx, d_tx = optax.adamw(1e-4), optax.adamw(1e-4)
+    step_fn = make_gan_superstep(
+        vocoder, disc, g_tx, d_tx, CFG, crop_len, k_steps=2
+    )
+    starts = np.array([[0, crop_len], [crop_len // 2, 2 * crop_len]], np.int32)
+    g2, g_opt, d2, d_opt, metrics = step_fn(
+        g_params, g_tx.init(g_params), d_params, d_tx.init(d_params),
+        flat, starts,
+    )
+    m = np.asarray(metrics)
+    assert m.shape == (2, 4) and np.isfinite(m).all()
+    for before, after in ((g_params, g2), (d_params, d2)):
+        assert any(
+            not np.array_equal(np.asarray(a), np.asarray(b))
+            for a, b in zip(jax.tree_util.tree_leaves(before),
+                            jax.tree_util.tree_leaves(after))
+        )
