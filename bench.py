@@ -78,13 +78,16 @@ def main() -> None:
 
     use_flash = os.environ.get("ORON_BENCH_FLASH", "1") != "0"
     scan_blocks = os.environ.get("ORON_BENCH_SCAN", "1") != "0"
+    conv_impl = os.environ.get("ORON_BENCH_CONV", "pallas")
     # Base config, bf16 compute
     model = DiT(
         dim=1024, depth=22, heads=16, dim_head=64, ff_mult=4,
         dropout=0.0, mel_dim=100, vocab_size=65, text_dim=512, conv_layers=4,
         dtype=jnp.bfloat16, use_flash=use_flash, scan_blocks=scan_blocks,
+        conv_impl=conv_impl,
     )
-    print(f"# use_flash={use_flash} scan_blocks={scan_blocks}", file=sys.stderr)
+    print(f"# use_flash={use_flash} scan_blocks={scan_blocks} "
+          f"conv_impl={conv_impl}", file=sys.stderr)
     cfm = CFM(model, CFMConfig())
     vocoder = VocosDecoder(dtype=jnp.bfloat16)
 

@@ -31,6 +31,7 @@ class InputEmbedding(nn.Module):
     text_dim: int
     out_dim: int
     dtype: Any = jnp.float32
+    conv_impl: str = "xla"
 
     @nn.compact
     def __call__(
@@ -47,7 +48,8 @@ class InputEmbedding(nn.Module):
             jnp.concatenate([x, cond, text_embed.astype(x.dtype)], axis=-1)
         )
         pos = ConvPositionEmbedding(
-            dim=self.out_dim, dtype=self.dtype, name="conv_pos_embed"
+            dim=self.out_dim, dtype=self.dtype, impl=self.conv_impl,
+            name="conv_pos_embed",
         )(h, mask=mask)
         return pos + h
 
@@ -75,6 +77,7 @@ class DiT(nn.Module):
     use_flash: bool = False
     attn_impl: str | None = None
     scan_blocks: bool = False
+    conv_impl: str = "xla"
 
     def setup(self) -> None:
         self.time_embed = TimestepEmbedding(self.dim, dtype=self.dtype)
@@ -85,7 +88,8 @@ class DiT(nn.Module):
             dtype=self.dtype,
         )
         self.input_embed = InputEmbedding(
-            self.mel_dim, self.text_dim, self.dim, dtype=self.dtype
+            self.mel_dim, self.text_dim, self.dim, dtype=self.dtype,
+            conv_impl=self.conv_impl,
         )
         block_kwargs = dict(
             dim=self.dim,

@@ -97,7 +97,8 @@ class F5TTS:
 
     def __init__(self, config: F5Config, dtype: Any = jnp.float32,
                  use_flash: bool | None = None, pad_to_multiple: int = 64,
-                 scan_blocks: bool | None = None) -> None:
+                 scan_blocks: bool | None = None,
+                 conv_impl: str | None = None) -> None:
         self.config = config
         m, a = config.model, config.audio
         self.n_mels = a.n_mels
@@ -117,6 +118,10 @@ class F5TTS:
 
         if scan_blocks is None:
             scan_blocks = m.scan_blocks
+        if conv_impl is None:
+            # Pallas ConvPositionEmbedding forward (custom VJP falls back
+            # to the XLA conv for gradients); Mosaic is TPU-only
+            conv_impl = "pallas" if jax.default_backend() == "tpu" else "xla"
         self.backbone = DiT(
             dim=m.dim, depth=m.depth, heads=m.heads, dim_head=m.dim_head,
             ff_mult=m.ff_mult, dropout=m.p_dropout, mel_dim=a.n_mels,
@@ -124,6 +129,7 @@ class F5TTS:
             conv_layers=m.conv_layers,
             gradient_checkpointing=config.gradient_checkpointing,
             dtype=dtype, use_flash=use_flash, scan_blocks=scan_blocks,
+            conv_impl=conv_impl,
         )
         self.cfm = CFM(
             self.backbone,

@@ -147,31 +147,81 @@ class GroupedConv1d(nn.Module):
         return out.reshape(b, t, self.dim) + bias.astype(self.dtype)
 
 
+class _PallasGroupedConv(nn.Module):
+    """nn.Conv-compatible params, forward via ops.grouped_conv (Mish fused).
+
+    mish(0) = 0, so fusing Mish before the caller's padding re-mask is
+    exact: masked rows end up 0 either way.
+    """
+
+    dim: int
+    kernel_size: int
+    groups: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        from oron_tts_tpu.ops.grouped_conv import grouped_conv1d_pallas
+
+        kernel = self.param(
+            "kernel",
+            nn.initializers.lecun_normal(),
+            (self.kernel_size, x.shape[-1] // self.groups, self.dim),
+        )
+        bias = self.param("bias", nn.initializers.zeros, (self.dim,))
+        return grouped_conv1d_pallas(
+            x.astype(self.dtype), kernel.astype(self.dtype), bias,
+            self.groups, True,
+        )
+
+
 class ConvPositionEmbedding(nn.Module):
-    """Two grouped 1-D convs (k=31, groups=16) with Mish, padding re-masked."""
+    """Two grouped 1-D convs (k=31, groups=16) with Mish, padding re-masked.
+
+    ``impl="pallas"`` uses the forward-only MXU kernel
+    (ops/grouped_conv.py) — inference paths only; training keeps nn.Conv
+    for its backward. Falls back to XLA when the shape doesn't tile
+    (dim % 128, group width dividing 128).
+    """
 
     dim: int
     kernel_size: int = 31
     groups: int = 16
     dtype: Dtype = jnp.float32
+    impl: str = "xla"
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, mask: jnp.ndarray | None = None) -> jnp.ndarray:
+        use_pallas = (
+            self.impl == "pallas"
+            and self.dim % 128 == 0
+            and x.shape[-1] == self.dim
+            and 128 % (self.dim // self.groups) == 0
+        )
         if mask is not None:
             m = mask[..., None]
             x = jnp.where(m, x, 0.0)
         for name in ("conv1", "conv2"):
-            x = nn.Conv(
-                self.dim,
-                kernel_size=(self.kernel_size,),
-                padding="SAME",
-                feature_group_count=self.groups,
-                dtype=self.dtype,
-                name=name,
-            )(x)
+            if use_pallas:
+                x = _PallasGroupedConv(
+                    self.dim,
+                    kernel_size=self.kernel_size,
+                    groups=self.groups,
+                    dtype=self.dtype,
+                    name=name,
+                )(x)
+            else:
+                x = nn.Conv(
+                    self.dim,
+                    kernel_size=(self.kernel_size,),
+                    padding="SAME",
+                    feature_group_count=self.groups,
+                    dtype=self.dtype,
+                    name=name,
+                )(x)
+                x = mish(x)
             if mask is not None:
                 x = jnp.where(mask[..., None], x, 0.0)
-            x = mish(x)
         return x
 
 

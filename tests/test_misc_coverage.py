@@ -126,3 +126,35 @@ def test_grouped_conv1d_matches_xla_grouped_conv():
     )
     diff = jnp.abs(ref.apply(v, x) - mine.apply(v, x)).max()
     assert float(diff) < 1e-5
+
+
+def test_grouped_conv_pallas_matches_ref_and_grads():
+    """ops/grouped_conv: Pallas forward (interpret) + custom-VJP grads
+    match the XLA reference (grouped conv + bias + Mish)."""
+    import jax
+    import jax.numpy as jnp
+
+    from oron_tts_tpu.ops.grouped_conv import (
+        _conv_mish_ref,
+        grouped_conv1d_pallas,
+    )
+
+    C, G, K = 256, 4, 7
+    x = jax.random.normal(jax.random.PRNGKey(0), (1, 24, C))
+    kern = jax.random.normal(jax.random.PRNGKey(1), (K, C // G, C)) * 0.05
+    bias = jax.random.normal(jax.random.PRNGKey(2), (C,)) * 0.1
+
+    y = grouped_conv1d_pallas(x, kern, bias, G, True, True)
+    y_ref = _conv_mish_ref(x, kern, bias, G, True)
+    assert float(jnp.abs(y - y_ref).max()) < 1e-5
+
+    gp = jax.grad(
+        lambda *a: jnp.sum(grouped_conv1d_pallas(*a, G, True, True) ** 2),
+        argnums=(0, 1, 2),
+    )(x, kern, bias)
+    gr = jax.grad(
+        lambda *a: jnp.sum(_conv_mish_ref(*a, G, True) ** 2),
+        argnums=(0, 1, 2),
+    )(x, kern, bias)
+    for a, b in zip(gp, gr):
+        assert float(jnp.abs(a - b).max()) < 1e-4
