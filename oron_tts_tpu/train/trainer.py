@@ -303,10 +303,17 @@ class F5Trainer:
             return None
 
     def _device_mem_gb(self) -> float | None:
+        """Peak device memory in GB (falls back to current bytes_in_use).
+
+        Mirrors the reference's ``torch.cuda.max_memory_allocated``
+        (trainer.py:298-300) rather than instantaneous usage.
+        """
         try:
             stats = jax.local_devices()[0].memory_stats()
-            if stats and "bytes_in_use" in stats:
-                return stats["bytes_in_use"] / 1e9
+            if stats:
+                for key in ("peak_bytes_in_use", "bytes_in_use"):
+                    if key in stats:
+                        return stats[key] / 1e9
         except Exception:
             pass
         return None
