@@ -97,7 +97,7 @@ def log_mel_pallas(
 
     window, cos_b, sin_b, fb = _consts(cfg)
 
-    hbm = pl.BlockSpec(memory_space=pltpu.ANY)  # signal views stay in HBM
+    hbm = pl.BlockSpec(memory_space=pl.ANY)  # signal views stay in HBM
     out = pl.pallas_call(
         functools.partial(
             _mel_kernel, block_t=block_t, hop=hop, n_fft=n_fft,
