@@ -78,6 +78,7 @@ class DiT(nn.Module):
     attn_impl: str | None = None
     scan_blocks: bool = False
     conv_impl: str = "xla"
+    remat_policy: str | None = None
 
     def setup(self) -> None:
         self.time_embed = TimestepEmbedding(self.dim, dtype=self.dtype)
@@ -109,7 +110,9 @@ class DiT(nn.Module):
             # stack_block_params/unstack_block_params.
             body = _DiTBlockScanBody
             if self.gradient_checkpointing:
-                body = nn.remat(body, static_argnums=(5,))
+                body = nn.remat(
+                    body, static_argnums=(5,), policy=self._remat_policy()
+                )
             scan = nn.scan(
                 body,
                 variable_axes={"params": 0},
@@ -121,7 +124,9 @@ class DiT(nn.Module):
         else:
             block = DiTBlock
             if self.gradient_checkpointing:
-                block = nn.remat(DiTBlock, static_argnums=(5,))
+                block = nn.remat(
+                    DiTBlock, static_argnums=(5,), policy=self._remat_policy()
+                )
             self.blocks = [
                 block(**block_kwargs, name=f"block{i}")
                 for i in range(self.depth)
@@ -133,6 +138,19 @@ class DiT(nn.Module):
             bias_init=nn.initializers.zeros,
             dtype=self.dtype,
         )
+
+    def _remat_policy(self):
+        """Named jax.checkpoint policy for rematerialized blocks.
+
+        None = save nothing (max recompute, min memory). "dots_saveable"
+        keeps MXU outputs and recomputes only elementwise work — measured
+        on v5e: see docs/KERNELS.md (train-step memory/throughput trade).
+        """
+        if not self.remat_policy:
+            return None
+        import jax
+
+        return getattr(jax.checkpoint_policies, self.remat_policy)
 
     def embed_text(
         self, text_ids: jnp.ndarray, seq_len: int, drop_text: jnp.ndarray | bool = False

@@ -62,10 +62,18 @@ def make_optimizer(
     betas: tuple[float, float] = (0.9, 0.999),
     weight_decay: float = 0.01,
     max_grad_norm: float = 1.0,
+    mu_dtype: Any | None = None,
 ) -> optax.GradientTransformation:
+    """AdamW with warmup-cosine schedule (reference trainer.py:76-96).
+
+    ``mu_dtype=jnp.bfloat16`` halves the first-moment memory (~0.9 GB at
+    Base scale) — useful headroom when training without activation
+    rematerialization on a 16 GB chip (docs/KERNELS.md).
+    """
     return optax.chain(
         optax.clip_by_global_norm(max_grad_norm),
-        optax.adamw(schedule, b1=betas[0], b2=betas[1], weight_decay=weight_decay),
+        optax.adamw(schedule, b1=betas[0], b2=betas[1],
+                    weight_decay=weight_decay, mu_dtype=mu_dtype),
     )
 
 
@@ -222,6 +230,8 @@ class F5Trainer:
             self.schedule,
             betas=betas,
             max_grad_norm=config.get("max_grad_norm", 1.0),
+            mu_dtype=(jnp.bfloat16
+                      if config.get("adam_mu_dtype") == "bfloat16" else None),
         )
         self.ema_decay = config.get("ema_decay", 0.9999)
 
