@@ -44,11 +44,16 @@ def main() -> None:
 
     results = {}
 
+    import os
+
+    conv_impl = os.environ.get("ORON_ABLATE_CONV", "xla")
+
     def measure(depth: int, impl: str) -> float:
         model = DiT(
             dim=1024, depth=depth, heads=16, dim_head=64, ff_mult=4,
             dropout=0.0, mel_dim=100, vocab_size=65, text_dim=512,
             conv_layers=4, dtype=jnp.bfloat16, attn_impl=impl,
+            conv_impl=conv_impl,
         )
         variables = model.init(k2, x, x, text, jnp.zeros((1,)))
         te = model.apply(variables, text, T, False, method="embed_text")
