@@ -126,8 +126,11 @@ def _pick_blocks(T: int, block_q: int | None, block_k: int | None) -> tuple[int,
         max_q = max(budget // (block_k * 4), 8)
         block_q = next((d for d in divisors_desc(T) if d <= max_q), 128)
     else:
-        while T % block_q:
+        while block_q > 8 and T % block_q:
             block_q //= 2
+        if block_q < 8 or T % block_q:
+            # override doesn't tile this T — fall back to the auto choice
+            return _pick_blocks(T, None, block_k)
     return block_q, block_k
 
 
