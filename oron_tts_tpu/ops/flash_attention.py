@@ -122,15 +122,14 @@ def _pick_blocks(T: int, block_q: int | None, block_k: int | None) -> tuple[int,
         while T % block_k:
             block_k //= 2
     budget = 6 * 1024 * 1024  # f32 score tile budget
-    if block_q is None:
-        max_q = max(budget // (block_k * 4), 8)
-        block_q = next((d for d in divisors_desc(T) if d <= max_q), 128)
-    else:
+    if block_q is not None:
         while block_q > 8 and T % block_q:
             block_q //= 2
         if block_q < 8 or T % block_q:
-            # override doesn't tile this T — fall back to the auto choice
-            return _pick_blocks(T, None, block_k)
+            block_q = None  # override can't tile this T — use auto choice
+    if block_q is None:
+        max_q = max(budget // (block_k * 4), 8)
+        block_q = next((d for d in divisors_desc(T) if d <= max_q), 128)
     return block_q, block_k
 
 
