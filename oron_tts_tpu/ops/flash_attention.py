@@ -121,7 +121,13 @@ def _pick_blocks(T: int, block_q: int | None, block_k: int | None) -> tuple[int,
     else:
         while T % block_k:
             block_k //= 2
-    budget = 6 * 1024 * 1024  # f32 score tile budget
+    # f32 score tile budget. On the single-KV-block fast path (block_k ==
+    # T) a full-T q block measured ~1% faster end-to-end than the old 6 MB
+    # cap's choice (bench RTF 0.0403 → 0.0399 at T=1600), and only one
+    # score tile is live. The streaming path (block_k < T) keeps ~2 tiles
+    # live (acc + exp) — an 11.5 MB budget there blew the 16 MB scoped
+    # VMEM at T=2816 (17.99 M needed), so it keeps the 6 MB cap.
+    budget = int((11.5 if block_k == T else 6) * 1024 * 1024)
     if block_q is not None:
         while block_q > 8 and T % block_q:
             block_q //= 2
