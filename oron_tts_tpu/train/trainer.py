@@ -642,13 +642,43 @@ class F5Trainer:
 
     # ── checkpointing ────────────────────────────────────────────────────
 
+    def _relayout(self, tree: Any, scan_blocks: bool) -> Any:
+        """Re-layout every DiT block subtree in ``tree`` (params, EMA, or
+        optimizer moments) between the stacked ``blocks`` scan layout and
+        the unrolled ``block{i}`` disk layout.
+
+        The on-disk contract is the unrolled layout (torch interop /
+        USAGE.md); a model with ``scan_blocks=True`` holds stacked params —
+        and Adam mu/nu mirror whichever layout the model uses — so both
+        save and resume must convert or flipping ``model.scan_blocks``
+        between runs breaks at apply time.
+        """
+        from collections.abc import Mapping
+
+        from oron_tts_tpu.models.dit import adapt_block_layout
+
+        depth = self.model.backbone.depth
+
+        def rec(node: Any) -> Any:
+            if isinstance(node, Mapping):
+                if "blocks" in node or "block0" in node:
+                    return adapt_block_layout(dict(node), depth, scan_blocks)
+                return {k: rec(v) for k, v in node.items()}
+            if isinstance(node, tuple) and hasattr(node, "_fields"):
+                return type(node)(*(rec(v) for v in node))
+            if isinstance(node, (list, tuple)):
+                return type(node)(rec(v) for v in node)
+            return node
+
+        return rec(tree)
+
     def save_checkpoint(self, is_best: bool = False,
                         loss: float | None = None) -> Path:
         return self.checkpoint_manager.save(
             step=self.global_step,
-            params=self.state.params,
-            opt_state=self.state.opt_state,
-            ema_params=self.state.ema_params,
+            params=self._relayout(self.state.params, scan_blocks=False),
+            opt_state=self._relayout(self.state.opt_state, scan_blocks=False),
+            ema_params=self._relayout(self.state.ema_params, scan_blocks=False),
             loss=loss,
             config=self.config,
             is_best=is_best,
@@ -665,9 +695,11 @@ class F5Trainer:
         self.epoch = int(info.get("epoch", 0))
         best = info.get("best_val")
         self._best_val = float(best) if best is not None else float("inf")
-        params = info["params"]
+        scan = self.model.backbone.scan_blocks
+        params = self._relayout(info["params"], scan_blocks=scan)
         opt_state = info.get("opt")
         if opt_state is not None:
+            opt_state = self._relayout(opt_state, scan_blocks=scan)
             opt_state = jax.tree_util.tree_unflatten(
                 jax.tree_util.tree_structure(self.tx.init(params)),
                 jax.tree_util.tree_leaves(opt_state),
@@ -675,6 +707,7 @@ class F5Trainer:
         else:
             opt_state = self.tx.init(params)
         ema = info.get("ema") if info.get("ema") is not None else params
+        ema = self._relayout(ema, scan_blocks=scan)
         self.state = self._apply_mesh(TrainState(
             params=params,
             opt_state=opt_state,

@@ -1,10 +1,14 @@
 """Evaluate a trained vocoder checkpoint and optionally ship it as the
 bundled default (``oron_tts_tpu/assets/vocoder/vocos_default.npz``).
 
-Metrics on held-out clips (never seen by the trainer when --holdout-seed
-differs from the training corpus split): log-mel L1 and multi-resolution
-STFT loss of resynthesized audio, with the Griffin-Lim fallback measured
-on the same clips as the floor to beat. The reference sidesteps all this
+Metrics on held-out clips: the evaluated pool is the tail
+``int(len(corpus) * --holdout-frac)`` of metadata.json — exactly the slice
+train_vocoder.py excludes with the same --holdout-frac — so the scores are
+honest held-out numbers. ``--clips`` is clamped to that pool (scoring more
+clips than the trainer held out would silently include training data).
+Reported: log-mel L1 and multi-resolution STFT loss of resynthesized audio,
+with the Griffin-Lim fallback measured on the same clips as the floor to
+beat. The reference sidesteps all this
 by downloading charactr/vocos-mel-24khz (f5tts.py:190-202); in an offline
 deployment the bundled checkpoint fills that role.
 
@@ -81,7 +85,19 @@ def main() -> None:
     )
 
     metadata = json.loads((Path(args.data_dir) / "metadata.json").read_text())
-    n_hold = max(args.clips, int(len(metadata) * args.holdout_frac))
+    # the held-out pool is EXACTLY what train_vocoder.py excluded with the
+    # same --holdout-frac; never widen it to satisfy --clips, or the
+    # "held-out" metrics would silently include training clips
+    n_hold = int(len(metadata) * args.holdout_frac)
+    if n_hold == 0:
+        raise SystemExit(
+            f"holdout pool is empty ({len(metadata)} clips x "
+            f"--holdout-frac {args.holdout_frac}); nothing to evaluate"
+        )
+    if args.clips > n_hold:
+        print(f"[WARN] --clips {args.clips} > holdout pool {n_hold}; "
+              f"clamping to {n_hold} to keep the eval held-out")
+        args.clips = n_hold
     held = metadata[-n_hold:][: args.clips]
     crop = int(args.seconds * mel_cfg.sample_rate)
     crop -= crop % mel_cfg.hop_length

@@ -151,9 +151,14 @@ def main() -> None:
         from oron_tts_tpu.models.discriminators import VocoderDiscriminator
         from oron_tts_tpu.train.vocoder import make_gan_superstep
 
-        if start_step == 0 and args.gan_start_step > 0:
-            raise SystemExit("--gan with --gan-start-step>0 needs a "
-                             "pretrained --resume checkpoint")
+        if start_step < args.gan_start_step:
+            # the superstep loop below is all-adversarial; entering it
+            # before --gan-start-step would start the GAN stage early
+            raise SystemExit(
+                f"--gan-start-step {args.gan_start_step} not reached: "
+                f"resume checkpoint is at step {start_step}. Run the "
+                f"MR-STFT stage (without --gan) up to that step first."
+            )
         disc = VocoderDiscriminator()
         _, wavs0 = crop_batch(audios[:1], mel_cfg, args.crop_frames,
                               np.random.default_rng(0))

@@ -119,6 +119,66 @@ def test_trainer_end_to_end(tmp_path):
     assert np.isfinite(loss2)
 
 
+def test_checkpoint_scan_layout_roundtrip(tmp_path):
+    """scan_blocks=True runs store the unrolled block{i} disk layout, and a
+    resume works after flipping model.scan_blocks (ADVICE r2: previously the
+    stacked layout leaked to disk and cross-layout resume failed)."""
+    import numpy as np
+
+    from oron_tts_tpu.train.checkpoint import load_pytree_npz
+    from oron_tts_tpu.train.trainer import F5Trainer
+
+    cfg_scan = dict(TINY_CFG, model=dict(TINY_CFG["model"], scan_blocks=True))
+    ds = _synthetic_dataset(4)
+    collator = TTSCollator(pad_to_multiple=64)
+    loader = DataLoader(ds, FixedBatchSampler(len(ds), 2, seed=1), collator,
+                        num_workers=0)
+    model = F5TTS.from_config(F5Config.from_dict(cfg_scan))
+    assert model.backbone.scan_blocks
+    trainer = F5Trainer(
+        config=cfg_scan, model=model, train_loader=loader,
+        log_dir=str(tmp_path / "logs"), checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    trainer.train_epoch(total_epochs=1)
+    path = trainer.save_checkpoint(loss=1.0)
+
+    # on-disk contract: unrolled block{i}, no stacked "blocks" subtree —
+    # in params, EMA, AND the Adam moments
+    trees, _ = load_pytree_npz(path)
+    for name in ("params", "ema"):
+        assert "block0" in trees[name] and "blocks" not in trees[name]
+    flat_opt_keys = " ".join(
+        "/".join(str(k) for k in p)
+        for p, _ in __import__("jax").tree_util.tree_flatten_with_path(
+            trees["opt"])[0]
+    )
+    assert "block0" in flat_opt_keys and "blocks/" not in flat_opt_keys
+
+    # resume into an UNROLLED model and keep training
+    cfg_plain = dict(TINY_CFG, model=dict(TINY_CFG["model"], scan_blocks=False))
+    model2 = F5TTS.from_config(F5Config.from_dict(cfg_plain))
+    trainer2 = F5Trainer(
+        config=cfg_plain, model=model2, train_loader=loader,
+        log_dir=str(tmp_path / "logs2"), checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    trainer2.load_checkpoint()
+    assert trainer2.global_step == trainer.global_step
+    assert "block0" in trainer2.state.params
+    loss = trainer2.train_epoch(total_epochs=1)
+    assert np.isfinite(loss)
+
+    # and back into a scanned model
+    model3 = F5TTS.from_config(F5Config.from_dict(cfg_scan))
+    trainer3 = F5Trainer(
+        config=cfg_scan, model=model3, train_loader=loader,
+        log_dir=str(tmp_path / "logs3"), checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    trainer3.load_checkpoint()
+    assert "blocks" in trainer3.state.params
+    loss = trainer3.train_epoch(total_epochs=1)
+    assert np.isfinite(loss)
+
+
 def test_grad_accumulation(tmp_path):
     from oron_tts_tpu.train.trainer import F5Trainer
 
