@@ -1,0 +1,314 @@
+"""Training CLI for OronTTS-TPU (flag parity with the reference train.py).
+
+Parallelism: instead of torch.multiprocessing + NCCL DDP, pass
+``--mesh DPxTP`` (e.g. ``--mesh 4x2``) or let the script use all local
+devices as pure data parallel. XLA GSPMD handles the collectives.
+"""
+
+import argparse
+import json
+from pathlib import Path
+
+
+def _metadata_attr_tokens(value: object) -> list[str]:
+    if isinstance(value, list):
+        return [str(t) for t in value]
+    if isinstance(value, str) and value.strip():
+        return [value.strip()]
+    return []
+
+
+def build_dataset(args, config):
+    from oron_tts_tpu.data.dataset import TTSDataset
+    from oron_tts_tpu.data.hf import HFDatasetWrapper
+
+    sample_rate = config.get("sample_rate", 24000)
+    n_mels = config.get("n_mels", 100)
+    default_lang = args.lang or "mn"
+
+    if not args.from_local:
+        print(f"Loading dataset from HuggingFace: {args.dataset}")
+        wrapper = HFDatasetWrapper(
+            args.dataset,
+            dataset_config=args.dataset_config,
+            cache_dir=args.cache_dir,
+            sample_rate=sample_rate,
+        )
+        hf_dataset = wrapper.load(split=args.split)
+        return TTSDataset.from_hf_dataset(
+            hf_dataset,
+            audio_column=args.audio_column,
+            text_column=args.text_column,
+            lang_column=args.lang_column,
+            gender_column=args.gender_column,
+            age_column=args.age_column,
+            sample_rate=sample_rate,
+            n_mels=n_mels,
+            default_lang=default_lang,
+        )
+
+    metadata_path = Path(args.data_dir) / "metadata.json"
+    with open(metadata_path) as f:
+        metadata = json.load(f)
+    return TTSDataset(
+        audio_paths=[Path(m["audio_path"]) for m in metadata],
+        texts=[m["text"] for m in metadata],
+        langs=[m.get("lang", default_lang) for m in metadata],
+        sample_rate=sample_rate,
+        n_mels=n_mels,
+        attr_tokens_list=[_metadata_attr_tokens(m.get("attr_tokens")) for m in metadata],
+    )
+
+
+def main() -> None:
+    from oron_tts_tpu.utils.env import load_dotenv, resolve_hf_token
+
+    load_dotenv()
+    parser = argparse.ArgumentParser(description="Train OronTTS F5-TTS model (TPU)")
+    parser.add_argument("--config", type=str, default="configs/runpod.yaml")
+    parser.add_argument("--data-dir", type=str, default="data/processed")
+    parser.add_argument("--from-local", action="store_true",
+                        help="Use local metadata.json instead of HF")
+    parser.add_argument("--dataset", type=str, default="btsee/mbspeech_mn")
+    parser.add_argument("--dataset-config", type=str, default=None,
+                        help="Optional HF dataset config/subset")
+    parser.add_argument("--split", type=str, default="train")
+    parser.add_argument("--audio-column", type=str, default="audio")
+    parser.add_argument("--text-column", type=str, default=None)
+    parser.add_argument("--lang-column", type=str, default=None)
+    parser.add_argument("--gender-column", type=str, default=None,
+                        help="Metadata column mapped to [FEMALE]/[MALE]")
+    parser.add_argument("--age-column", type=str, default=None,
+                        help="Metadata column mapped to [YOUNG]/[MIDDLE]/[ELDERLY]")
+    parser.add_argument("--lang", type=str, default="mn", choices=["mn", "kz"])
+    parser.add_argument("--cache-dir", type=str, default="output/data/cache")
+    parser.add_argument("--log-dir", type=str, default="output/logs")
+    parser.add_argument("--checkpoint-dir", type=str, default="output/checkpoints")
+    parser.add_argument("--pretrain-ckpt", type=str, default=None,
+                        help="Pretrained F5-TTS .safetensors/.pt/.npz checkpoint")
+    parser.add_argument("--resume", action="store_true")
+    parser.add_argument("--resume-best", action="store_true")
+    parser.add_argument("--push-to-hub", action="store_true")
+    parser.add_argument("--hf-repo", type=str, default="btsee/oron-tts")
+    parser.add_argument("--hf-token", type=str, default=None)
+    parser.add_argument("--hub-private", action="store_true")
+    parser.add_argument("--hub-upload-interval", type=int, default=1)
+    parser.add_argument("--num-gpus", type=int, default=None,
+                        help="(compat) accepted and ignored; JAX uses all devices")
+    parser.add_argument("--mesh", type=str, default=None,
+                        help="Device mesh as DPxTP, e.g. 8x1 or 4x2")
+    parser.add_argument("--multihost", action="store_true",
+                        help="Call jax.distributed.initialize() for multi-host "
+                             "TPU pods (uses TPU metadata for rendezvous)")
+    parser.add_argument("--num-epochs", type=int, default=None)
+    parser.add_argument("--device", type=str, default=None,
+                        help="JAX platform override (cpu/tpu)")
+    args = parser.parse_args()
+    args.hf_token = resolve_hf_token(args.hf_token)
+    if args.hub_upload_interval < 1:
+        parser.error("--hub-upload-interval must be >= 1")
+
+    if args.device:
+        import jax
+
+        jax.config.update("jax_platforms", args.device)
+    import jax
+
+    if args.multihost:
+        # multi-host pods: one process per host, ICI/DCN rendezvous via the
+        # TPU metadata service (replaces the reference's NCCL localhost:12355)
+        jax.distributed.initialize()
+        print(f"Process {jax.process_index()}/{jax.process_count()}, "
+              f"{jax.local_device_count()} local devices")
+    import jax.numpy as jnp
+    import numpy as np
+
+    from oron_tts_tpu.config import F5Config, load_config
+    from oron_tts_tpu.data.dataset import (
+        DynamicBatchSampler,
+        FixedBatchSampler,
+        TTSCollator,
+    )
+    from oron_tts_tpu.data.loader import DataLoader
+    from oron_tts_tpu.models.f5tts import F5TTS
+    from oron_tts_tpu.train.trainer import F5Trainer
+
+    from oron_tts_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+    config = load_config(args.config)
+    if args.num_epochs:
+        config["num_epochs"] = args.num_epochs
+
+    dataset = build_dataset(args, config)
+    print(f"Dataset size: {len(dataset)}")
+
+    # 90/10 split, seeded (reference train.py:117-130)
+    n = len(dataset)
+    val_size = int(n * 0.1)
+    rng = np.random.default_rng(42)
+    perm = rng.permutation(n)
+    val_idx = set(perm[:val_size].tolist()) if val_size >= 2 else set()
+    train_idx = [i for i in range(n) if i not in val_idx]
+    if jax.process_count() > 1:
+        # per-host shard (DistributedSampler analogue): wrap-around padding
+        # keeps batch counts equal across hosts (collective deadlock guard);
+        # val is host-sharded too so hosts don't redundantly re-evaluate it
+        from oron_tts_tpu.parallel.mesh import host_shard_wraparound
+
+        pc, pid = jax.process_count(), jax.process_index()
+        train_idx = host_shard_wraparound(train_idx, pc, pid)
+        val_idx = set(host_shard_wraparound(sorted(val_idx), pc, pid))
+
+    class _Subset:
+        def __init__(self, base, indices):
+            self.base, self.indices = base, list(indices)
+            self.durations = (
+                [base.durations[i] for i in self.indices]
+                if getattr(base, "durations", None) else []
+            )
+
+        def __len__(self):
+            return len(self.indices)
+
+        def __getitem__(self, i):
+            return self.base[self.indices[i]]
+
+    train_subset = _Subset(dataset, train_idx)
+    val_subset = _Subset(dataset, sorted(val_idx)) if val_idx else None
+
+    batch_size = config.get("batch_size", 16)
+    batch_size_type = config.get("batch_size_type", "sample")
+    num_workers = config.get("num_workers", 4)
+    # batch-axis padding: frame-budget batches have variable row counts, so
+    # bucket them (fewer recompiles) and keep them divisible by the data
+    # mesh axis (sharding requirement); finalized once the mesh is known
+    dp_size = 1
+    batch_multiple = config.get("batch_pad_multiple", 0)
+    collator = TTSCollator(pad_to_multiple=config.get("pad_to_multiple", 64))
+
+    if jax.process_count() > 1:
+        # multi-host: frame-budget packing would give hosts different batch
+        # counts (collective deadlock); use fixed-size batches like the
+        # reference's multi-GPU path (train.py:141-154 uses a plain
+        # DistributedSampler there too)
+        sampler = FixedBatchSampler(len(train_subset), batch_size)
+    elif batch_size_type == "frame" and train_subset.durations:
+        sampler = DynamicBatchSampler(
+            durations=train_subset.durations,
+            frames_threshold=config.get("frames_threshold", 6000),
+            max_samples=config.get("max_samples", 0),
+            sample_rate=config.get("sample_rate", 24000),
+            hop_length=config.get("hop_length", 256),
+        )
+    else:
+        sampler = FixedBatchSampler(len(train_subset), batch_size)
+    train_loader = DataLoader(
+        train_subset, sampler, collator, num_workers=num_workers
+    )
+    val_loader = None
+    if val_subset is not None:
+        val_loader = DataLoader(
+            val_subset,
+            FixedBatchSampler(len(val_subset), batch_size, shuffle=False,
+                              drop_last=False),
+            collator,
+            num_workers=max(num_workers // 2, 1),
+        )
+
+    f5cfg = F5Config.from_dict(config)
+    dtype = (
+        jnp.bfloat16
+        if config.get("mixed_precision", "bfloat16") == "bfloat16"
+        and jax.default_backend() != "cpu"
+        else jnp.float32
+    )
+    model = F5TTS(f5cfg, dtype=dtype)
+    model.init_params(0)
+    print(f"Model parameters: {model.num_params():,}")
+
+    mesh = None
+    n_dev = jax.device_count()
+    if args.mesh or n_dev > 1:
+        from oron_tts_tpu.parallel.mesh import make_mesh
+
+        if args.mesh:
+            dp, _, tp = args.mesh.partition("x")
+            mesh = make_mesh(int(dp), int(tp or 1))
+        else:
+            mesh = make_mesh(n_dev, 1)
+        print(f"Device mesh: {mesh.shape}")
+        dp_size = dict(mesh.shape).get("data", 1)
+
+    if not batch_multiple:
+        # dynamic frame batching → bucket to 8; always divisible by dp
+        import math as _math
+
+        base = 8 if batch_size_type == "frame" else 1
+        batch_multiple = _math.lcm(base, dp_size)
+    collator.pad_batch_to_multiple = max(1, batch_multiple)
+
+    if args.pretrain_ckpt:
+        path = Path(args.pretrain_ckpt)
+        if path.suffix == ".npz":
+            from oron_tts_tpu.train.checkpoint import load_pytree_npz
+
+            trees, _ = load_pytree_npz(path)
+            model.variables = {"params": trees.get("ema") or trees["params"]}
+        else:
+            from oron_tts_tpu.utils.torch_compat import (
+                convert_f5tts_state_dict,
+                load_torch_checkpoint,
+                merge_compatible,
+            )
+
+            sd = load_torch_checkpoint(str(path))
+            converted = convert_f5tts_state_dict(
+                sd, depth=f5cfg.model.depth, conv_layers=f5cfg.model.conv_layers
+            )
+            # non-strict: shape-mismatched leaves (e.g. the 65-token text
+            # embedding vs official F5-TTS vocab) keep their fresh init
+            merged, skipped = merge_compatible(model.variables["params"], converted)
+            model.variables = {"params": merged}
+            if skipped:
+                print(f"[WARN] Shape-skipped pretrained keys (first 5): {skipped[:5]}")
+        print(f"Loaded pretrained weights from {path}")
+
+    trainer = F5Trainer(
+        config=config,
+        model=model,
+        train_loader=train_loader,
+        val_loader=val_loader,
+        log_dir=args.log_dir,
+        checkpoint_dir=args.checkpoint_dir,
+        hub_repo_id=args.hf_repo if args.push_to_hub else None,
+        hub_token=args.hf_token,
+        hub_private=args.hub_private,
+        hub_upload_interval=args.hub_upload_interval,
+        mesh=mesh,
+    )
+    if args.resume or args.resume_best:
+        trainer.load_checkpoint(load_best=args.resume_best)
+
+    num_epochs = args.num_epochs or config.get("num_epochs", 500)
+    completed = False
+    try:
+        trainer.train(
+            num_epochs=num_epochs, save_interval=config.get("save_interval", 5)
+        )
+        completed = True
+    finally:
+        if args.push_to_hub:
+            try:
+                url = trainer.push_to_hub(
+                    args.hf_repo, token=args.hf_token, private=args.hub_private
+                )
+                print(f"Model and logs pushed to: {url}")
+            except Exception as exc:
+                if completed:
+                    raise
+                print(f"[WARN] Final HF upload skipped after interrupted run: {exc}")
+
+
+if __name__ == "__main__":
+    main()

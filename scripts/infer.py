@@ -1,6 +1,5 @@
-"""Inference CLI for OronTTS-TPU (flag parity with the reference infer.py)."""
+"""Shim: the inference CLI lives in oron_tts_tpu.cli.infer (``oron-infer``)."""
 
-import argparse
 import sys
 from pathlib import Path
 
@@ -8,199 +7,7 @@ REPO_ROOT = Path(__file__).resolve().parent.parent
 if str(REPO_ROOT) not in sys.path:
     sys.path.insert(0, str(REPO_ROOT))
 
-
-def load_model(checkpoint_path: str, use_ema: bool = True,
-               scan_blocks: bool | None = None):
-    """Load F5TTS from a native .npz / torch .pt checkpoint or a directory.
-
-    scan_blocks=True iterates the DiT blocks with lax.scan — identical
-    numerics, ~depth× faster cold compile (recommended for serving);
-    None defers to the checkpoint config's model.scan_blocks.
-    """
-    from oron_tts_tpu.config import F5Config
-    from oron_tts_tpu.models.f5tts import F5TTS
-    from oron_tts_tpu.train.checkpoint import CheckpointManager, load_pytree_npz
-
-    path = Path(checkpoint_path)
-    if not path.exists():
-        raise SystemExit(
-            f"error: checkpoint path does not exist: {path}\n"
-            "Pass a checkpoint directory (with f5tts_step_*.npz + config.json) "
-            "or a .npz/.pt/.safetensors file."
-        )
-    ckpt_dir = path if path.is_dir() else path.parent
-    cm = CheckpointManager(str(ckpt_dir))
-    config = cm.load_config() or {}
-    model = F5TTS.from_config(F5Config.from_dict(config), scan_blocks=scan_blocks)
-
-    if path.is_dir():
-        found = cm.latest_checkpoint() or (
-            cm.best_path() if cm.best_path().exists() else None
-        )
-        if found is None:
-            raise FileNotFoundError(f"no checkpoint found in {path}")
-        path = found
-
-    if path.suffix == ".npz":
-        trees, meta = load_pytree_npz(path)
-        params = trees.get("ema") if use_ema and trees.get("ema") is not None \
-            else trees.get("params")
-        if use_ema and trees.get("ema") is None:
-            print("[WARN] EMA weights not found in checkpoint, using raw weights")
-        elif use_ema:
-            print("Loading EMA weights (smoothed)")
-        else:
-            print("Loading raw training weights (--no-ema)")
-        model.variables = {"params": params}
-        print(f"Checkpoint step: {meta.get('step', '?')}")
-    else:  # torch .pt / .safetensors from the reference implementation
-        from oron_tts_tpu.utils.torch_compat import (
-            convert_f5tts_state_dict,
-            load_torch_checkpoint,
-        )
-
-        sd = load_torch_checkpoint(str(path), prefer_ema=use_ema)
-        params = convert_f5tts_state_dict(
-            sd, depth=model.config.model.depth,
-            conv_layers=model.config.model.conv_layers,
-        )
-        model.variables = {"params": params}
-        print(f"Loaded torch-format checkpoint ({'EMA' if use_ema else 'raw'} weights, converted to JAX)")
-    return model
-
-
-def main() -> None:
-    parser = argparse.ArgumentParser(description="OronTTS F5-TTS Inference (TPU)")
-    parser.add_argument("--checkpoint", type=str, required=True,
-                        help="Path to .npz/.pt checkpoint or checkpoint dir")
-    parser.add_argument("--text", type=str, default=None,
-                        help="Cyrillic text to synthesize")
-    parser.add_argument("--text-file", type=str, default=None,
-                        help="File with one utterance per line — batched "
-                             "synthesis, outputs <output-stem>_000.wav ...")
-    parser.add_argument("--lang", type=str, default="mn", choices=["mn", "kz"])
-    parser.add_argument("--output", type=str, default="output.wav")
-    parser.add_argument("--ref-audio", type=str, default=None,
-                        help="3-10 s reference WAV for voice cloning")
-    parser.add_argument("--ref-text", type=str, default=None,
-                        help="Transcript of ref-audio clip")
-    parser.add_argument("--steps", type=int, default=32,
-                        help="ODE integration steps")
-    parser.add_argument("--cfg-strength", type=float, default=2.0,
-                        help="Classifier-free guidance")
-    parser.add_argument("--sway-sampling-coef", type=float, default=-1.0,
-                        help="Sway sampling coefficient; use 0 for uniform")
-    parser.add_argument("--duration", type=float, default=None,
-                        help="Target duration in seconds")
-    parser.add_argument("--speed", type=float, default=1.0,
-                        help="Speaking-rate multiplier; ignored if --duration set")
-    parser.add_argument("--max-chars-per-chunk", type=int, default=120,
-                        help="Split long text into chunks; 0 disables chunking")
-    parser.add_argument("--pause-ms", type=int, default=250,
-                        help="Silence between chunks")
-    parser.add_argument("--seed", type=int, default=None,
-                        help="Optional reproducible sampling seed")
-    parser.add_argument("--no-ema", action="store_true",
-                        help="Use raw weights instead of EMA")
-    parser.add_argument("--vocoder", type=str, default=None,
-                        help="Vocoder checkpoint (.npz or torch Vocos)")
-    parser.add_argument("--device", type=str, default=None,
-                        help="JAX platform override (cpu/tpu)")
-    parser.add_argument("--scan-blocks", action="store_true", default=None,
-                        help="Iterate DiT blocks with lax.scan: identical "
-                             "output, ~depth× faster cold compile")
-    args = parser.parse_args()
-
-    if args.device:
-        import jax
-
-        jax.config.update("jax_platforms", args.device)
-
-    from oron_tts_tpu.utils.cache import enable_compilation_cache
-
-    enable_compilation_cache()
-    from oron_tts_tpu.data.wav import write_wav
-    from oron_tts_tpu.models.f5tts import split_text_for_synthesis
-
-    if (args.text is None) == (args.text_file is None):
-        parser.error("provide exactly one of --text or --text-file")
-    if args.text_file and (args.ref_audio or args.ref_text or args.duration):
-        parser.error(
-            "--text-file is ref-free batch mode; --ref-audio/--ref-text/"
-            "--duration are per-utterance — use --text for those"
-        )
-
-    model = load_model(args.checkpoint, use_ema=not args.no_ema,
-                       scan_blocks=args.scan_blocks)
-    if args.vocoder:
-        model.load_vocoder(args.vocoder)
-    print(f"Model loaded. Parameters: {model.num_params():,}")
-
-    if args.text_file:
-        texts = [
-            line.strip() for line in Path(args.text_file).read_text().splitlines()
-            if line.strip()
-        ]
-        print(f"Batch synthesis: {len(texts)} utterances [{args.lang}]")
-        max_chars = args.max_chars_per_chunk or 0
-        if max_chars and any(len(t) > max_chars for t in texts):
-            # long lines need chunking, which the packed batch path skips —
-            # fall back to per-line synthesis (still one file per line)
-            print("[INFO] long lines present — synthesizing per line with chunking")
-            wavs = [
-                model.synthesize(
-                    text=line, lang=args.lang, n_steps=args.steps,
-                    cfg_strength=args.cfg_strength,
-                    sway_sampling_coef=args.sway_sampling_coef,
-                    speed=args.speed, max_chars_per_chunk=max_chars,
-                    pause_s=args.pause_ms / 1000,
-                    seed=None if args.seed is None else args.seed + i,
-                )
-                for i, line in enumerate(texts)
-            ]
-        else:
-            wavs = model.synthesize_batch(
-                texts, lang=args.lang, n_steps=args.steps,
-                cfg_strength=args.cfg_strength,
-                sway_sampling_coef=args.sway_sampling_coef,
-                speed=args.speed, seed=args.seed,
-            )
-        out = Path(args.output)
-        out.parent.mkdir(parents=True, exist_ok=True)
-        for i, wav in enumerate(wavs):
-            path = out.with_name(f"{out.stem}_{i:03d}{out.suffix or '.wav'}")
-            write_wav(path, wav, model.sample_rate)
-            print(f"Saved: {path} ({len(wav) / model.sample_rate:.2f} s)")
-        return
-
-    print(f"Synthesising [{args.lang}]: {args.text}")
-    if args.max_chars_per_chunk > 0:
-        chunks = split_text_for_synthesis(args.text, args.max_chars_per_chunk)
-        if len(chunks) > 1:
-            print(
-                f"Long text split into {len(chunks)} chunks "
-                f"(max {args.max_chars_per_chunk} chars each)"
-            )
-    waveform = model.synthesize(
-        text=args.text,
-        lang=args.lang,
-        ref_audio_path=args.ref_audio,
-        ref_text=args.ref_text,
-        n_steps=args.steps,
-        cfg_strength=args.cfg_strength,
-        sway_sampling_coef=args.sway_sampling_coef,
-        target_duration_s=args.duration,
-        speed=args.speed,
-        max_chars_per_chunk=args.max_chars_per_chunk,
-        pause_s=args.pause_ms / 1000,
-        seed=args.seed,
-    )
-
-    out = Path(args.output)
-    out.parent.mkdir(parents=True, exist_ok=True)
-    write_wav(out, waveform, model.sample_rate)
-    print(f"Saved: {out} ({len(waveform) / model.sample_rate:.2f} s)")
-
+from oron_tts_tpu.cli.infer import load_model, main  # noqa: E402,F401
 
 if __name__ == "__main__":
     main()
