@@ -45,6 +45,7 @@ def build_dataset(args, config):
             sample_rate=sample_rate,
             n_mels=n_mels,
             default_lang=default_lang,
+            cache_bytes=int(config.get("dataset_cache_bytes", 2 << 30)),
         )
 
     metadata_path = Path(args.data_dir) / "metadata.json"
@@ -57,6 +58,7 @@ def build_dataset(args, config):
         sample_rate=sample_rate,
         n_mels=n_mels,
         attr_tokens_list=[_metadata_attr_tokens(m.get("attr_tokens")) for m in metadata],
+        cache_bytes=int(config.get("dataset_cache_bytes", 2 << 30)),
     )
 
 

@@ -97,7 +97,7 @@ class TTSDataset:
         audio_arrays: list[np.ndarray] | None = None,
         audio_bytes_list: list[bytes] | None = None,
         attr_tokens_list: list[list[str]] | None = None,
-        cache_items: int = 10000,
+        cache_bytes: int = 2 << 30,
     ) -> None:
         if audio_paths is not None:
             self.audio_paths: list[Path] | None = [Path(p) for p in audio_paths]
@@ -137,9 +137,12 @@ class TTSDataset:
         self.text_cleaner = TextCleaner()
         self.durations: list[float] = []
         # item cache: decode + mel extraction dominates epoch host time and
-        # is deterministic per index, so epochs past the first read from RAM
-        # (~1.6 MB per 10 s clip; cap bounds the footprint)
-        self._cache_items = max(0, cache_items)
+        # is deterministic per index, so epochs past the first read from RAM.
+        # BYTE-bounded (default 2 GB), not count-bounded: a count cap lets a
+        # large corpus silently pin ~0.4 MB x N of host RAM (VERDICT r2 #7)
+        self._cache_bytes_budget = max(0, int(cache_bytes))
+        self._cache_bytes = 0
+        self._cache_full_logged = False
         self._cache: dict[int, dict[str, Any]] = {}
         self._cache_lock = __import__("threading").Lock()
 
@@ -174,15 +177,42 @@ class TTSDataset:
             samples = wavio.resample(samples, sr, self.sample_rate)
         return samples.astype(np.float32)
 
+    @staticmethod
+    def _item_nbytes(item: dict[str, Any]) -> int:
+        return sum(
+            v.nbytes if isinstance(v, np.ndarray) else len(str(v))
+            for v in item.values()
+        )
+
+    def cache_stats(self) -> dict[str, int]:
+        """Resident cache footprint (bytes/items/budget) for epoch logging."""
+        with self._cache_lock:
+            return {
+                "bytes": self._cache_bytes,
+                "items": len(self._cache),
+                "budget_bytes": self._cache_bytes_budget,
+            }
+
     def __getitem__(self, idx: int) -> dict[str, Any]:
         with self._cache_lock:
             cached = self._cache.get(idx)
         if cached is not None:
             return cached
         item = self._build_item(idx)
-        if len(self._cache) < self._cache_items:
-            with self._cache_lock:
-                self._cache[idx] = item
+        size = self._item_nbytes(item)
+        with self._cache_lock:
+            if self._cache_bytes + size <= self._cache_bytes_budget:
+                if idx not in self._cache:
+                    self._cache[idx] = item
+                    self._cache_bytes += size
+            elif not self._cache_full_logged:
+                self._cache_full_logged = True
+                _logger.info(
+                    "Dataset item cache full: %.0f MB across %d items "
+                    "(budget %.0f MB); remaining items re-decode each epoch",
+                    self._cache_bytes / 1e6, len(self._cache),
+                    self._cache_bytes_budget / 1e6,
+                )
         return item
 
     def _build_item(self, idx: int) -> dict[str, Any]:
@@ -226,6 +256,7 @@ class TTSDataset:
         default_lang: str = "mn",
         min_duration_s: float = 1.0,
         max_duration_s: float = 30.0,
+        cache_bytes: int = 2 << 30,
     ) -> "TTSDataset":
         """Ingest an HF dataset keeping raw bytes; filter by duration 1–30 s."""
         from datasets import Audio
@@ -319,6 +350,7 @@ class TTSDataset:
             min_duration_s=min_duration_s,
             max_duration_s=max_duration_s,
             attr_tokens_list=attrs,
+            cache_bytes=cache_bytes,
         )
         ds.durations = durations
         return ds

@@ -533,10 +533,20 @@ class F5Trainer:
         epoch_time = time.monotonic() - epoch_start
         samples = getattr(self.train_loader.dataset, "__len__", lambda: 0)()
         throughput = samples / epoch_time if epoch_time > 0 else 0.0
+        cache_str = ""
+        # resident item-cache footprint, once per epoch (subsets forward to
+        # their .base dataset)
+        ds = self.train_loader.dataset
+        ds = getattr(ds, "base", ds)
+        stats_fn = getattr(ds, "cache_stats", None)
+        if callable(stats_fn):
+            st = stats_fn()
+            cache_str = (f" | cache={st['bytes'] / 1e6:.0f}MB"
+                         f"/{st['budget_bytes'] / 1e6:.0f}MB")
         self.logger.info(
             f"  ↳ epoch {self.epoch}: {epoch_time:.1f}s | "
             f"{throughput:.0f} samples/s | "
-            f"avg_loss={total_loss / max(n_updates, 1):.4f}"
+            f"avg_loss={total_loss / max(n_updates, 1):.4f}{cache_str}"
         )
         return total_loss / max(n_updates, 1)
 

@@ -59,6 +59,33 @@ def test_collator_bucketing():
     assert not batch["mask"][0, T0:].any()
 
 
+def test_dataset_cache_byte_bounded():
+    ds = _synthetic_dataset()
+    item0 = ds[0]
+    one_item = TTSDataset._item_nbytes(item0)
+
+    # budget for ~2 items: cache stops growing but items are still served
+    small = TTSDataset(
+        audio_arrays=[np.asarray(a, np.float32) for a in
+                      [ds._load_audio(i) for i in range(len(ds))]],
+        texts=ds.texts, sample_rate=ds.sample_rate,
+        cache_bytes=int(one_item * 2.5),
+    )
+    for i in range(len(small)):
+        small[i]
+    st = small.cache_stats()
+    assert st["bytes"] <= st["budget_bytes"]
+    assert st["items"] < len(small)
+    # uncached items still decodable and identical across reads
+    np.testing.assert_array_equal(small[5]["mel"], small[5]["mel"])
+
+    # zero budget disables caching entirely
+    none = TTSDataset(audio_arrays=[ds._load_audio(0)], texts=[ds.texts[0]],
+                      sample_rate=ds.sample_rate, cache_bytes=0)
+    none[0]
+    assert none.cache_stats() == {"bytes": 0, "items": 0, "budget_bytes": 0}
+
+
 def test_dynamic_batch_sampler():
     durations = [1.0, 2.0, 3.0, 1.5, 2.5, 0.5]
     s = DynamicBatchSampler(durations, frames_threshold=400, sample_rate=24000,
