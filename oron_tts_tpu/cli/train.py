@@ -51,7 +51,7 @@ def build_dataset(args, config):
     metadata_path = Path(args.data_dir) / "metadata.json"
     with open(metadata_path) as f:
         metadata = json.load(f)
-    return TTSDataset(
+    ds = TTSDataset(
         audio_paths=[Path(m["audio_path"]) for m in metadata],
         texts=[m["text"] for m in metadata],
         langs=[m.get("lang", default_lang) for m in metadata],
@@ -60,6 +60,18 @@ def build_dataset(args, config):
         attr_tokens_list=[_metadata_attr_tokens(m.get("attr_tokens")) for m in metadata],
         cache_bytes=int(config.get("dataset_cache_bytes", 2 << 30)),
     )
+    # header-only durations: enables frame-budget batching locally and the
+    # multi-host global batch schedule (both need per-sample lengths)
+    from oron_tts_tpu.data.wav import wav_info
+
+    durations = []
+    for m in metadata:
+        try:
+            durations.append(wav_info(m["audio_path"])[0])
+        except Exception:
+            durations.append(0.0)
+    ds.durations = durations
+    return ds
 
 
 def main() -> None:
@@ -145,22 +157,16 @@ def main() -> None:
     dataset = build_dataset(args, config)
     print(f"Dataset size: {len(dataset)}")
 
-    # 90/10 split, seeded (reference train.py:117-130)
+    # 90/10 split, seeded (reference train.py:117-130). In multi-host runs
+    # BOTH subsets stay global: the GlobalBatchSchedule below hands each
+    # host its row-slice of every global batch, so hosts cooperate on the
+    # same batches instead of holding divergent shards
     n = len(dataset)
     val_size = int(n * 0.1)
     rng = np.random.default_rng(42)
     perm = rng.permutation(n)
     val_idx = set(perm[:val_size].tolist()) if val_size >= 2 else set()
     train_idx = [i for i in range(n) if i not in val_idx]
-    if jax.process_count() > 1:
-        # per-host shard (DistributedSampler analogue): wrap-around padding
-        # keeps batch counts equal across hosts (collective deadlock guard);
-        # val is host-sharded too so hosts don't redundantly re-evaluate it
-        from oron_tts_tpu.parallel.mesh import host_shard_wraparound
-
-        pc, pid = jax.process_count(), jax.process_index()
-        train_idx = host_shard_wraparound(train_idx, pc, pid)
-        val_idx = set(host_shard_wraparound(sorted(val_idx), pc, pid))
 
     class _Subset:
         def __init__(self, base, indices):
@@ -182,39 +188,107 @@ def main() -> None:
     batch_size = config.get("batch_size", 16)
     batch_size_type = config.get("batch_size_type", "sample")
     num_workers = config.get("num_workers", 4)
+    sample_rate = config.get("sample_rate", 24000)
+    hop_length = config.get("hop_length", 256)
+    pad_to_multiple = config.get("pad_to_multiple", 64)
+    collator = TTSCollator(pad_to_multiple=pad_to_multiple,
+                           n_mels=config.get("n_mels", 100))
+
+    # mesh before loaders: the data-axis size fixes both the batch-row
+    # multiple and the multi-host schedule's per-host row quantum
+    mesh = None
+    dp_size = 1
+    n_dev = jax.device_count()
+    if args.mesh or n_dev > 1:
+        from oron_tts_tpu.parallel.mesh import make_mesh
+
+        if args.mesh:
+            dp, _, tp = args.mesh.partition("x")
+            mesh = make_mesh(int(dp), int(tp or 1))
+        else:
+            mesh = make_mesh(n_dev, 1)
+        print(f"Device mesh: {mesh.shape}")
+        dp_size = dict(mesh.shape).get("data", 1)
+
     # batch-axis padding: frame-budget batches have variable row counts, so
     # bucket them (fewer recompiles) and keep them divisible by the data
-    # mesh axis (sharding requirement); finalized once the mesh is known
-    dp_size = 1
+    # mesh axis (sharding requirement)
     batch_multiple = config.get("batch_pad_multiple", 0)
-    collator = TTSCollator(pad_to_multiple=config.get("pad_to_multiple", 64))
+    if not batch_multiple:
+        import math as _math
 
-    if jax.process_count() > 1:
-        # multi-host: frame-budget packing would give hosts different batch
-        # counts (collective deadlock); use fixed-size batches like the
-        # reference's multi-GPU path (train.py:141-154 uses a plain
-        # DistributedSampler there too)
-        sampler = FixedBatchSampler(len(train_subset), batch_size)
-    elif batch_size_type == "frame" and train_subset.durations:
-        sampler = DynamicBatchSampler(
-            durations=train_subset.durations,
-            frames_threshold=config.get("frames_threshold", 6000),
-            max_samples=config.get("max_samples", 0),
-            sample_rate=config.get("sample_rate", 24000),
-            hop_length=config.get("hop_length", 256),
+        base = 8 if batch_size_type == "frame" else 1
+        batch_multiple = _math.lcm(base, dp_size)
+    collator.pad_batch_to_multiple = max(1, batch_multiple)
+
+    pc, pid = jax.process_count(), jax.process_index()
+    if pc > 1:
+        # multi-host: every host builds the identical global batch plan and
+        # slices its rows; each batch carries a globally agreed (T, rows)
+        # pad target so make_array_from_process_local_data sees one global
+        # shape on every host (VERDICT r2 #1/#2). Frame-budget packing now
+        # works on pods too — the schedule is global, so batch counts and
+        # shapes agree by construction.
+        from oron_tts_tpu.data.dataset import (
+            GlobalBatchSchedule,
+            frames_for_duration,
+        )
+
+        def est_frames(subset):
+            return [frames_for_duration(d, sample_rate, hop_length)
+                    for d in subset.durations]
+
+        if not train_subset.durations:
+            raise SystemExit(
+                "multi-host training needs per-sample durations for the "
+                "global batch schedule (metadata.json audio must be "
+                "readable WAV, or use an HF dataset)"
+            )
+        rows_mult = max(1, dp_size // pc)
+        common = dict(num_hosts=pc, host_id=pid,
+                      pad_to_multiple=pad_to_multiple,
+                      rows_multiple_per_host=rows_mult,
+                      seed=config.get("seed", 0))
+        if batch_size_type == "frame":
+            sampler = GlobalBatchSchedule(
+                est_frames(train_subset),
+                frames_threshold=config.get("frames_threshold", 6000),
+                max_samples=config.get("max_samples", 0),
+                **common,
+            )
+        else:
+            sampler = GlobalBatchSchedule(
+                est_frames(train_subset), batch_size=batch_size, **common,
+            )
+        val_sampler = (
+            GlobalBatchSchedule(est_frames(val_subset), batch_size=batch_size,
+                                shuffle=False, **common)
+            if val_subset is not None else None
         )
     else:
-        sampler = FixedBatchSampler(len(train_subset), batch_size)
+        if batch_size_type == "frame" and train_subset.durations:
+            sampler = DynamicBatchSampler(
+                durations=train_subset.durations,
+                frames_threshold=config.get("frames_threshold", 6000),
+                max_samples=config.get("max_samples", 0),
+                sample_rate=sample_rate,
+                hop_length=hop_length,
+            )
+        else:
+            sampler = FixedBatchSampler(len(train_subset), batch_size)
+        val_sampler = (
+            FixedBatchSampler(len(val_subset), batch_size, shuffle=False,
+                              drop_last=False)
+            if val_subset is not None else None
+        )
+
     train_loader = DataLoader(
         train_subset, sampler, collator, num_workers=num_workers
     )
     val_loader = None
     if val_subset is not None:
         val_loader = DataLoader(
-            val_subset,
-            FixedBatchSampler(len(val_subset), batch_size, shuffle=False,
-                              drop_last=False),
-            collator,
+            val_subset, val_sampler, collator,
             num_workers=max(num_workers // 2, 1),
         )
 
@@ -228,27 +302,6 @@ def main() -> None:
     model = F5TTS(f5cfg, dtype=dtype)
     model.init_params(0)
     print(f"Model parameters: {model.num_params():,}")
-
-    mesh = None
-    n_dev = jax.device_count()
-    if args.mesh or n_dev > 1:
-        from oron_tts_tpu.parallel.mesh import make_mesh
-
-        if args.mesh:
-            dp, _, tp = args.mesh.partition("x")
-            mesh = make_mesh(int(dp), int(tp or 1))
-        else:
-            mesh = make_mesh(n_dev, 1)
-        print(f"Device mesh: {mesh.shape}")
-        dp_size = dict(mesh.shape).get("data", 1)
-
-    if not batch_multiple:
-        # dynamic frame batching → bucket to 8; always divisible by dp
-        import math as _math
-
-        base = 8 if batch_size_type == "frame" else 1
-        batch_multiple = _math.lcm(base, dp_size)
-    collator.pad_batch_to_multiple = max(1, batch_multiple)
 
     if args.pretrain_ckpt:
         path = Path(args.pretrain_ckpt)

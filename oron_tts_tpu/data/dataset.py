@@ -365,33 +365,50 @@ class TTSCollator:
 
     Text ids pad with -1 (→ filler 0 after the +1 shift); batch-axis padding
     rows carry mel_length 0 so they contribute nothing to the masked loss.
+
+    ``pad_t_to`` / ``pad_rows_to`` (per-call, supplied by
+    :class:`GlobalBatchSchedule` through the loader) override the locally
+    derived bucket with a globally agreed one — required in multi-host runs
+    where every process must emit the same global array shape
+    (``jax.make_array_from_process_local_data``, parallel/mesh.py). An item
+    longer than ``pad_t_to`` is cropped (frame estimates can be off by one).
     """
 
     def __init__(self, pad_to_multiple: int = 64,
                  pad_batch_to: int | None = None,
-                 pad_batch_to_multiple: int = 1):
+                 pad_batch_to_multiple: int = 1,
+                 n_mels: int = 100):
         self.pad_to_multiple = pad_to_multiple
         self.pad_batch_to = pad_batch_to
         self.pad_batch_to_multiple = max(1, pad_batch_to_multiple)
+        self.n_mels = n_mels  # fallback for all-pad batches (every decode failed)
 
-    def __call__(self, batch: list[dict[str, Any]]) -> dict[str, np.ndarray]:
+    def __call__(self, batch: list[dict[str, Any]],
+                 pad_t_to: int | None = None,
+                 pad_rows_to: int | None = None) -> dict[str, np.ndarray]:
         n = len(batch)
-        n_pad = self.pad_batch_to or round_up(n, self.pad_batch_to_multiple)
+        n_pad = (pad_rows_to or self.pad_batch_to
+                 or round_up(n, self.pad_batch_to_multiple))
         if n_pad < n:
             raise ValueError("pad_batch_to smaller than batch")
-        lengths = np.asarray([b["mel"].shape[-1] for b in batch], dtype=np.int32)
-        t_bucket = round_up(int(lengths.max()), self.pad_to_multiple)
-        n_mels = batch[0]["mel"].shape[0]
+        if pad_t_to is not None:
+            t_bucket = pad_t_to
+        elif batch:
+            max_len = max(b["mel"].shape[-1] for b in batch)
+            t_bucket = round_up(max_len, self.pad_to_multiple)
+        else:
+            raise ValueError("empty batch requires pad_t_to")
+        n_mels = batch[0]["mel"].shape[0] if batch else self.n_mels
 
         mels = np.zeros((n_pad, n_mels, t_bucket), dtype=np.float32)
         text_ids = np.full((n_pad, t_bucket), -1, dtype=np.int32)
         masks = np.zeros((n_pad, t_bucket), dtype=bool)
         mel_lengths = np.zeros(n_pad, dtype=np.int32)
         for i, item in enumerate(batch):
-            T = item["mel"].shape[-1]
-            mels[i, :, :T] = item["mel"]
-            text_ids[i, :T] = item["text_ids"]
-            masks[i, :T] = item["mask"]
+            T = min(item["mel"].shape[-1], t_bucket)
+            mels[i, :, :T] = item["mel"][:, :T]
+            text_ids[i, :T] = item["text_ids"][:T]
+            masks[i, :T] = item["mask"][:T]
             mel_lengths[i] = T
         return {
             "mel": mels,
@@ -448,6 +465,138 @@ class DynamicBatchSampler:
 
     def __len__(self) -> int:
         return len(self.batches)
+
+
+def frames_for_duration(duration_s: float, sample_rate: int = 24000,
+                        hop_length: int = 256) -> int:
+    """Estimated mel frames for a clip (center=True STFT: T = n//hop + 1).
+
+    Off-by-one vs the actual decode is tolerated downstream: the collator
+    crops to the scheduled bucket (TTSCollator.pad_t_to).
+    """
+    return int(duration_s * sample_rate / hop_length) + 1
+
+
+class GlobalBatchSchedule:
+    """Cross-host-consistent batch plan for multi-host training (VERDICT r2 #1).
+
+    ``jax.make_array_from_process_local_data`` requires every process to
+    agree on each step's GLOBAL array shape, but per-host collation pads T
+    to the local max — two hosts holding different-length samples would
+    produce different T-buckets for the same step. This schedule removes
+    the per-host degree of freedom: every host builds the IDENTICAL plan
+    (same frame estimates, same epoch seed), takes its own interleaved
+    row-slice of each global batch, and receives the globally agreed pad
+    targets. Iterating yields ``(local_indices, {"pad_t_to": t_bucket,
+    "pad_rows_to": rows_per_host})`` — the loader forwards the kwargs to
+    the collator.
+
+    Row counts: each global batch is padded to a multiple of
+    ``num_hosts * rows_multiple_per_host`` by wrap-around duplication
+    (DistributedSampler drop_last=False analogue), so every host holds the
+    same number of REAL rows and the global batch axis divides the mesh's
+    data axis. The frame-budget packing itself mirrors
+    :class:`DynamicBatchSampler` (sort by length, greedy fill, epoch-seeded
+    shuffle, nothing dropped); ``batch_size`` switches to fixed-size
+    batches over an epoch-seeded permutation like :class:`FixedBatchSampler`.
+    Replaces the reference's DDP DistributedSampler (train.py:141-154),
+    which had no shape-consistency concept because torch batches are
+    host-local.
+    """
+
+    def __init__(
+        self,
+        frames: list[int],
+        num_hosts: int,
+        host_id: int,
+        frames_threshold: int = 0,
+        batch_size: int = 0,
+        max_samples: int = 0,
+        pad_to_multiple: int = 64,
+        rows_multiple_per_host: int = 1,
+        shuffle: bool = True,
+        seed: int = 0,
+    ) -> None:
+        if not (0 <= host_id < num_hosts):
+            raise ValueError(f"host_id {host_id} not in [0, {num_hosts})")
+        if bool(frames_threshold) == bool(batch_size):
+            raise ValueError("pass exactly one of frames_threshold/batch_size")
+        self.frames = [int(f) for f in frames]
+        self.num_hosts = num_hosts
+        self.host_id = host_id
+        self.frames_threshold = frames_threshold
+        self.batch_size = batch_size
+        self.max_samples = max_samples
+        self.pad_to_multiple = pad_to_multiple
+        self.rows_multiple = max(1, rows_multiple_per_host)
+        self.shuffle = shuffle
+        self.seed = seed
+        self.epoch = 0
+
+    def set_epoch(self, epoch: int) -> None:
+        self.epoch = epoch
+
+    def _global_batches(self) -> list[list[int]]:
+        n = len(self.frames)
+        if self.frames_threshold:
+            order = sorted(range(n), key=lambda i: self.frames[i])
+            batches: list[list[int]] = []
+            batch: list[int] = []
+            acc = 0
+            for idx in order:
+                f = self.frames[idx]
+                fits = (acc + f <= self.frames_threshold) and (
+                    self.max_samples == 0 or len(batch) < self.max_samples
+                )
+                if fits:
+                    batch.append(idx)
+                    acc += f
+                else:
+                    if batch:
+                        batches.append(batch)
+                    batch, acc = [idx], f
+            if batch:
+                batches.append(batch)
+            if self.shuffle:
+                rng = np.random.default_rng(self.seed + self.epoch)
+                batches = [batches[int(i)]
+                           for i in rng.permutation(len(batches))]
+            return batches
+        idx = np.arange(n)
+        if self.shuffle:
+            idx = np.random.default_rng(self.seed + self.epoch).permutation(idx)
+        return [
+            [int(j) for j in idx[i: i + self.batch_size]]
+            for i in range(0, n, self.batch_size)
+        ]
+
+    def _entries(self) -> list[tuple[list[int], dict[str, int]]]:
+        out = []
+        row_quantum = self.num_hosts * self.rows_multiple
+        for batch in self._global_batches():
+            rows_global = round_up(len(batch), row_quantum)
+            # wrap-around duplication -> every host gets exactly
+            # rows_global/num_hosts REAL rows (no virtual-row bookkeeping)
+            padded = list(batch)
+            while len(padded) < rows_global:
+                padded.extend(batch[: rows_global - len(padded)])
+            local = padded[self.host_id:: self.num_hosts]
+            t_bucket = round_up(
+                max(self.frames[i] for i in batch), self.pad_to_multiple
+            )
+            out.append((local, {
+                "pad_t_to": t_bucket,
+                "pad_rows_to": rows_global // self.num_hosts,
+            }))
+        return out
+
+    def __iter__(self):
+        return iter(self._entries())
+
+    def __len__(self) -> int:
+        if self.frames_threshold:
+            return len(self._global_batches())
+        return -(-len(self.frames) // self.batch_size)
 
 
 class FixedBatchSampler:

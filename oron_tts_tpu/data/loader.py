@@ -31,21 +31,31 @@ class DataLoader:
     def __len__(self) -> int:
         return len(self.batch_sampler)  # type: ignore[arg-type]
 
-    def _build(self, indices: list[int]) -> dict | None:
+    @staticmethod
+    def _split_entry(entry) -> tuple[list[int], dict]:
+        """Sampler entries are index lists, or (indices, collate_kwargs)
+        pairs from GlobalBatchSchedule (globally agreed pad targets)."""
+        if isinstance(entry, tuple) and len(entry) == 2 and isinstance(entry[1], dict):
+            return list(entry[0]), entry[1]
+        return list(entry), {}
+
+    def _build(self, indices: list[int], collate_kwargs: dict) -> dict | None:
         items = []
         for i in indices:
             try:
                 items.append(self.dataset[i])
             except Exception as exc:  # guard-based skip (trainer parity)
                 _logger.warning("Skipping sample %d: %s", i, exc)
-        if not items:
+        if not items and not collate_kwargs.get("pad_t_to"):
             return None
-        return self.collate_fn(items)
+        # with a scheduled shape, even an all-failed batch must be emitted
+        # (as pure padding) — other hosts expect this step's collective
+        return self.collate_fn(items, **collate_kwargs)
 
     def __iter__(self) -> Iterator[dict]:
         if self.num_workers == 0:
-            for indices in self.batch_sampler:
-                batch = self._build(indices)
+            for entry in self.batch_sampler:
+                batch = self._build(*self._split_entry(entry))
                 if batch is not None:
                     yield batch
             return
@@ -62,11 +72,11 @@ class DataLoader:
             while True:
                 while not exhausted and len(pending) < self.num_workers + self.prefetch:
                     try:
-                        indices = next(it)
+                        entry = next(it)
                     except StopIteration:
                         exhausted = True
                         break
-                    pending.append(pool.submit(self._build, list(indices)))
+                    pending.append(pool.submit(self._build, *self._split_entry(entry)))
                 if not pending:
                     break
                 batch = pending.popleft().result()

@@ -153,6 +153,21 @@ def wav_info_bytes(data: bytes) -> tuple[float, int]:
         raise ValueError(f"malformed WAVE data: {exc}") from exc
 
 
+def wav_info(path: str | Path) -> tuple[float, int]:
+    """Header-only (duration_seconds, sample_rate) for a WAV file on disk.
+
+    Reads the first 64 KiB (fmt/data chunk headers live at the front; the
+    parser only seeks past payloads); falls back to the whole file for
+    exotic chunk layouts.
+    """
+    with open(path, "rb") as f:
+        head = f.read(65536)
+    try:
+        return wav_info_bytes(head)
+    except ValueError:
+        return wav_info_bytes(Path(path).read_bytes())
+
+
 def _wav_info_bytes(data: bytes) -> tuple[float, int]:
     buf = io.BytesIO(data)
     riff, _size, wave = struct.unpack("<4sI4s", buf.read(12))

@@ -224,6 +224,73 @@ def test_grad_accumulation(tmp_path):
     assert trainer.global_step == 1  # 2 batches / accum 2 → one update
 
 
+def test_grad_accumulation_partial_flush(tmp_path):
+    """3 microbatches at accum 2 → one full window + one partial flush."""
+    from oron_tts_tpu.train.trainer import F5Trainer
+
+    cfg = dict(TINY_CFG, grad_accumulation_steps=2)
+    ds = _synthetic_dataset(6)
+    collator = TTSCollator(pad_to_multiple=64)
+    loader = DataLoader(ds, FixedBatchSampler(len(ds), 2, seed=1,
+                                              drop_last=False), collator,
+                        num_workers=0)
+    model = F5TTS.from_config(F5Config.from_dict(cfg))
+    trainer = F5Trainer(
+        config=cfg, model=model, train_loader=loader,
+        log_dir=str(tmp_path / "logs"), checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    loss = trainer.train_epoch(total_epochs=1)
+    assert np.isfinite(loss)
+    assert trainer.global_step == 2  # full window + partial flush
+
+
+def test_grad_accumulation_poisoned_window_skipped(tmp_path):
+    """A non-finite microbatch loss freezes the WHOLE window on device
+    (the host mel guard is bypassed here to exercise the device guard —
+    on multi-host pods it is the only guard, trainer.train_epoch)."""
+    import jax
+
+    from oron_tts_tpu.train.trainer import F5Trainer
+
+    cfg = dict(TINY_CFG, grad_accumulation_steps=2)
+    ds = _synthetic_dataset(4)
+    collator = TTSCollator(pad_to_multiple=64)
+    good = collator([ds[0], ds[1]])
+    bad = {k: np.asarray(v).copy() for k, v in good.items()}
+    bad["mel"][0, 0, 0] = np.inf
+
+    model = F5TTS.from_config(F5Config.from_dict(cfg))
+    trainer = F5Trainer(
+        config=cfg, model=model, train_loader=[good] * 2,
+        log_dir=str(tmp_path / "logs"), checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    before = jax.tree_util.tree_map(np.asarray, trainer.state.params)
+
+    rng = jax.random.PRNGKey(0)
+    acc = trainer._zero_accum(trainer.state.params)
+    acc = trainer._accum_step(acc, trainer.state.params, bad, rng)
+    acc = trainer._accum_step(acc, trainer.state.params, good, rng)
+    assert not bool(np.asarray(acc["all_finite"]))
+    assert int(np.asarray(acc["n_finite"])) == 1
+    trainer.state, metrics = trainer._apply_accum(trainer.state, acc)
+    assert not bool(np.asarray(metrics["ok"]))
+    after = jax.tree_util.tree_map(np.asarray, trainer.state.params)
+    for a, b in zip(jax.tree_util.tree_leaves(before),
+                    jax.tree_util.tree_leaves(after)):
+        np.testing.assert_array_equal(a, b)  # state frozen
+    assert int(np.asarray(trainer.state.step)) == 0
+
+    # a clean window DOES move params
+    acc = trainer._zero_accum(trainer.state.params)
+    acc = trainer._accum_step(acc, trainer.state.params, good, rng)
+    acc = trainer._accum_step(acc, trainer.state.params, good,
+                              jax.random.PRNGKey(1))
+    assert bool(np.asarray(acc["all_finite"]))
+    trainer.state, metrics = trainer._apply_accum(trainer.state, acc)
+    assert bool(np.asarray(metrics["ok"]))
+    assert int(np.asarray(trainer.state.step)) == 1
+
+
 def test_nonfinite_batch_skipped(tmp_path):
     from oron_tts_tpu.train.trainer import F5Trainer
 
