@@ -79,15 +79,17 @@ def main() -> None:
     use_flash = os.environ.get("ORON_BENCH_FLASH", "1") != "0"
     scan_blocks = os.environ.get("ORON_BENCH_SCAN", "1") != "0"
     conv_impl = os.environ.get("ORON_BENCH_CONV", "pallas")
+    attn_impl = os.environ.get("ORON_BENCH_IMPL") or None  # lanes/flash/einsum
     # Base config, bf16 compute
     model = DiT(
         dim=1024, depth=22, heads=16, dim_head=64, ff_mult=4,
         dropout=0.0, mel_dim=100, vocab_size=65, text_dim=512, conv_layers=4,
         dtype=jnp.bfloat16, use_flash=use_flash, scan_blocks=scan_blocks,
-        conv_impl=conv_impl,
+        conv_impl=conv_impl, attn_impl=attn_impl,
     )
     print(f"# use_flash={use_flash} scan_blocks={scan_blocks} "
-          f"conv_impl={conv_impl}", file=sys.stderr)
+          f"conv_impl={conv_impl} attn_impl={attn_impl or 'auto'}",
+          file=sys.stderr)
     cfm = CFM(model, CFMConfig())
     vocoder = VocosDecoder(dtype=jnp.bfloat16)
 
@@ -159,6 +161,7 @@ def main() -> None:
     )
     assert bool(np.isfinite(np.asarray(wav)).all()), "non-finite output"
 
+    serve = bench_serving(jax, jnp)
     train = bench_train_step(jax, jnp)
 
     print(json.dumps({
@@ -166,8 +169,79 @@ def main() -> None:
         "value": round(rtf, 5),
         "unit": "rtf",
         "vs_baseline": round(TARGET_RTF / rtf, 3),
+        **serve,
         **train,
     }))
+
+
+def bench_serving(jax, jnp) -> dict:
+    """Batched-serving throughput (VERDICT r2 #8): a realistic length mix
+    through F5TTS.synthesize_batch — length-grouped buckets, one CFG solve
+    and ONE jitted vocoder call per group. Reports utterances/s and
+    audio-seconds generated per wall second on one chip."""
+    import numpy as np
+
+    from oron_tts_tpu.config import F5Config
+    from oron_tts_tpu.models.f5tts import F5TTS
+    from oron_tts_tpu.models.vocos import VocosDecoder
+
+    cfg = {
+        "sample_rate": 24000, "n_mels": 100, "n_fft": 1024, "hop_length": 256,
+        "model": {
+            "dim": 1024, "depth": 22, "heads": 16, "dim_head": 64,
+            "ff_mult": 4, "text_dim": 512, "conv_layers": 4, "vocab_size": 65,
+            "p_dropout": 0.0, "scan_blocks": True,
+        },
+    }
+    model = F5TTS(F5Config.from_dict(cfg), dtype=jnp.bfloat16)
+    model.variables = random_params_like(
+        model.backbone, jax.eval_shape(
+            model.backbone.init, jax.random.PRNGKey(0),
+            jnp.zeros((1, 64, 100)), jnp.zeros((1, 64, 100)),
+            jnp.zeros((1, 64), jnp.int32), jnp.zeros((1,)),
+        ), seed=2,
+    )
+    vocoder = VocosDecoder(dtype=jnp.bfloat16)
+    voc_vars = random_params_like(
+        vocoder,
+        jax.eval_shape(vocoder.init, jax.random.PRNGKey(0),
+                       jnp.zeros((1, 100, 64), jnp.float32)),
+    )
+    model.set_vocoder(vocoder, voc_vars)
+
+    # realistic request mix: 16 utterances, 25–120 chars (≈ 3.5–17 s audio)
+    words = ("сайн байна уу та нар өнөөдөр хэрхэн байна вэ монгол улс "
+             "сайхан орон юм шүү өргөн уудам тал нутаг").split()
+    rng = np.random.default_rng(0)
+    texts = []
+    for i in range(16):
+        target_chars = 25 + int(rng.integers(0, 96))
+        t = ""
+        while len(t.replace(" ", "")) < target_chars:
+            t += words[int(rng.integers(0, len(words)))] + " "
+        texts.append(t.strip())
+    audio_s = sum(
+        max(50, int(len(t.replace(" ", "")) * 13)) * 256 / 24000 for t in texts
+    )
+
+    t0 = time.perf_counter()
+    model.synthesize_batch(texts, n_steps=32, seed=0)
+    warm = time.perf_counter() - t0
+    print(f"# serve warmup (compile incl.): {warm:.1f}s", file=sys.stderr)
+    t0 = time.perf_counter()
+    wavs = model.synthesize_batch(texts, n_steps=32, seed=0)
+    wall = time.perf_counter() - t0
+    assert all(np.isfinite(w).all() for w in wavs)
+    print(
+        f"# serve: {len(texts)} utts ({audio_s:.1f} audio-s) in {wall:.2f}s "
+        f"-> {len(texts) / wall:.1f} utts/s, {audio_s / wall:.1f} audio-s/s",
+        file=sys.stderr,
+    )
+    return {
+        "serve_utts_per_s": round(len(texts) / wall, 2),
+        "serve_audio_s_per_s": round(audio_s / wall, 1),
+        "serve_batch": len(texts),
+    }
 
 
 def dit_train_flops(
@@ -201,7 +275,14 @@ def dit_train_flops(
 
 
 def bench_train_step(jax, jnp) -> dict:
-    """Fused Base-config train step at a production bucket; returns metrics."""
+    """Fused Base-config train step at a production bucket; returns metrics.
+
+    Env knobs for ablations (docs/KERNELS.md "Base train step"):
+    ORON_TRAIN_B / ORON_TRAIN_T (bucket), ORON_TRAIN_REMAT (1/0),
+    ORON_TRAIN_IMPL (lanes/flash/einsum), ORON_TRAIN_MU (bf16/f32).
+    """
+    import os
+
     import numpy as np
 
     from oron_tts_tpu.models.cfm import CFM, CFMConfig
@@ -213,11 +294,18 @@ def bench_train_step(jax, jnp) -> dict:
         make_train_step,
     )
 
-    B, T = 24, 2048
+    B = int(os.environ.get("ORON_TRAIN_B", 24))
+    T = int(os.environ.get("ORON_TRAIN_T", 2048))
+    remat = os.environ.get("ORON_TRAIN_REMAT", "1") != "0"
+    impl = os.environ.get("ORON_TRAIN_IMPL", "lanes")
+    mu_bf16 = os.environ.get("ORON_TRAIN_MU", "bf16") == "bf16"
+    print(f"# train config: B={B} T={T} remat={remat} impl={impl} "
+          f"mu_bf16={mu_bf16}", file=sys.stderr)
     model = DiT(
         dim=1024, depth=22, heads=16, dim_head=64, ff_mult=4, dropout=0.1,
         mel_dim=100, vocab_size=65, text_dim=512, conv_layers=4,
-        dtype=jnp.bfloat16, use_flash=True, gradient_checkpointing=True,
+        dtype=jnp.bfloat16, use_flash=True, attn_impl=impl,
+        gradient_checkpointing=remat,
     )
     cfm = CFM(model, CFMConfig())
     rng = jax.random.PRNGKey(0)
@@ -229,7 +317,8 @@ def bench_train_step(jax, jnp) -> dict:
         ), seed=1,
     )
 
-    tx = make_optimizer(make_lr_schedule(1e-4, 1000, 100000))
+    tx = make_optimizer(make_lr_schedule(1e-4, 1000, 100000),
+                        mu_dtype=jnp.bfloat16 if mu_bf16 else None)
     params = variables["params"]
     state = TrainState(
         params=params,

@@ -299,6 +299,32 @@ class F5TTS:
         module, variables = self._vocoder
         return np.asarray(module.apply(variables, mel)[0])
 
+    def _decode_mel_group(self, mel: jnp.ndarray) -> np.ndarray:
+        """[B, n_mels, T] log-mel → waveforms [B, T·hop], ONE vocoder call.
+
+        The serving path decodes a whole length group at once (jitted,
+        cached per shape) instead of B eager per-row applies — on the TPU
+        tunnel each eager apply costs per-op dispatch round-trips.
+        """
+        if self._vocoder is None:
+            self.load_vocoder()
+        if self._vocoder == "griffin_lim":
+            from oron_tts_tpu.ops.griffin_lim import griffin_lim
+
+            return np.stack([
+                np.asarray(griffin_lim(
+                    mel[i: i + 1], self.audio_processor.mel_config, n_iter=32
+                )[0])
+                for i in range(mel.shape[0])
+            ])
+        module, variables = self._vocoder
+        key = ("voc", mel.shape)
+        fn = self._sample_cache.get(key)
+        if fn is None:
+            fn = jax.jit(lambda v, m: module.apply(v, m))
+            self._sample_cache[key] = fn
+        return np.asarray(fn(variables, mel))
+
     # ── inference ─────────────────────────────────────────────────────────
 
     @staticmethod
@@ -384,6 +410,37 @@ class F5TTS:
             return waveforms[0]
         return concat_with_pause(waveforms, self.sample_rate, pause_s)
 
+    @staticmethod
+    def _length_groups(
+        target_lens: list[int], pad_to_multiple: int, max_batch: int,
+        tolerance: float = 1.3,
+    ) -> list[list[int]]:
+        """Group row indices by similar target length (VERDICT r2 #8).
+
+        A single bucket pads every row to the longest utterance — one long
+        text taxes the whole batch with O(T²) attention on padding. Sorted
+        greedy grouping bounds the waste: a row joins the current group
+        while its length is within ``tolerance``x the group's shortest (or
+        one pad quantum) and the group is under ``max_batch`` rows.
+        """
+        order = sorted(range(len(target_lens)), key=lambda i: target_lens[i])
+        groups: list[list[int]] = []
+        cur: list[int] = []
+        for idx in order:
+            if not cur:
+                cur = [idx]
+                continue
+            lo = target_lens[cur[0]]
+            limit = max(lo * tolerance, lo + pad_to_multiple)
+            if target_lens[idx] <= limit and len(cur) < max_batch:
+                cur.append(idx)
+            else:
+                groups.append(cur)
+                cur = [idx]
+        if cur:
+            groups.append(cur)
+        return groups
+
     def synthesize_batch(
         self,
         texts: list[str],
@@ -393,13 +450,16 @@ class F5TTS:
         sway_sampling_coef: float | None = -1.0,
         speed: float = 1.0,
         seed: int | None = None,
+        max_batch: int = 16,
     ) -> list[np.ndarray]:
-        """Batched ref-free synthesis: one sampler call for many utterances.
+        """Batched ref-free synthesis: few sampler calls for many utterances.
 
-        TPU-native throughput path (no reference analogue): utterances pad
-        to a shared bucket and ride one CFG Euler solve; per-row durations
-        mask the tails. Texts longer than one chunk should go through
-        synthesize() instead.
+        TPU-native throughput path (no reference analogue): utterances are
+        length-grouped (similar-length rows share a bucket, so one long
+        text no longer pads every row — VERDICT r2 #8), each group rides
+        one CFG Euler solve, and per-row durations mask the tails. Group
+        batch sizes round up to powers of two to bound jit-cache entries.
+        Texts longer than one chunk should go through synthesize() instead.
         """
         assert self.variables is not None, "call init_params or load a checkpoint"
         lang = validate_language(lang)
@@ -415,25 +475,36 @@ class F5TTS:
             max(50, int(max(1, len(t.replace(" ", ""))) * 13 / speed))
             for t in texts
         ]
-        bucket = -(-max(target_lens) // self.pad_to_multiple) * self.pad_to_multiple
+        groups = self._length_groups(
+            target_lens, self.pad_to_multiple, max_batch
+        )
 
-        batch = len(texts)
-        text_arr = np.full((batch, bucket), -1, dtype=np.int32)
-        for i, (ids, tl) in enumerate(zip(id_lists, target_lens)):
-            text_arr[i, :tl] = stretch_text_to_len(ids, tl)
-        cond = np.zeros((batch, bucket, self.n_mels), dtype=np.float32)
-        durations = np.asarray(target_lens, dtype=np.int32)
-        lens = np.zeros(batch, dtype=np.int32)
+        wavs: list[np.ndarray | None] = [None] * len(texts)
+        for group in groups:
+            bucket = -(-max(target_lens[i] for i in group)
+                       // self.pad_to_multiple) * self.pad_to_multiple
+            n = len(group)
+            batch = 1 << (n - 1).bit_length()  # pad rows → stable jit keys
+            text_arr = np.full((batch, bucket), -1, dtype=np.int32)
+            durations = np.full(batch, 50, dtype=np.int32)  # pad-row minimum
+            for row, i in enumerate(group):
+                tl = target_lens[i]
+                text_arr[row, :tl] = stretch_text_to_len(id_lists[i], tl)
+                durations[row] = tl
+            cond = np.zeros((batch, bucket, self.n_mels), dtype=np.float32)
+            lens = np.zeros(batch, dtype=np.int32)
 
-        key = jax.random.PRNGKey(0 if seed is None else seed)
-        fn = self._sample_fn(bucket, n_steps, cfg_strength, sway_sampling_coef,
-                             batch=batch)
-        mel_out = fn(self.variables, cond, text_arr, durations, lens, key)
-        wavs = []
-        for i, tl in enumerate(target_lens):
-            gen = jnp.swapaxes(mel_out[i: i + 1, :tl, :], 1, 2)
-            wavs.append(self._decode_mel(gen).astype(np.float32))
-        return wavs
+            key = jax.random.PRNGKey(0 if seed is None else seed)
+            fn = self._sample_fn(bucket, n_steps, cfg_strength,
+                                 sway_sampling_coef, batch=batch)
+            mel_out = fn(self.variables, cond, text_arr, durations, lens, key)
+            decoded = self._decode_mel_group(
+                jnp.swapaxes(mel_out, 1, 2)  # [batch, n_mels, bucket]
+            )
+            for row, i in enumerate(group):
+                n = target_lens[i] * self.hop_length
+                wavs[i] = decoded[row, :n].astype(np.float32)
+        return [w for w in wavs if w is not None]
 
     def _sample_fn(self, bucket_len: int, steps: int, cfg_strength: float,
                    sway: float | None, batch: int = 1):

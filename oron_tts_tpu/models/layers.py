@@ -63,6 +63,31 @@ def apply_rope(
     return q * cos + rot_half(q) * sin, k * cos + rot_half(k) * sin
 
 
+def apply_rope_lanes(
+    q: jnp.ndarray, k: jnp.ndarray, cos: jnp.ndarray, sin: jnp.ndarray,
+    heads: int,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """RoPE on the padding-free lanes layout: q, k [B, T, H·D]; cos/sin [T, D].
+
+    The rotation is per head (identical freqs for every head), expressed as
+    reshapes around the elementwise math — XLA fuses them, so no [B,H,T,D]
+    tensor materializes (the whole point of the layout, ops/flash_attention
+    "heads-in-lanes").
+    """
+    B, T, HD = q.shape
+    d = HD // heads
+
+    def rot(x: jnp.ndarray) -> jnp.ndarray:
+        x4 = x.reshape(B, T, heads, d)
+        half = d // 2
+        r = jnp.concatenate([-x4[..., half:], x4[..., :half]], axis=-1)
+        return r.reshape(B, T, HD)
+
+    cos_l = jnp.tile(cos, (1, heads))[None].astype(q.dtype)  # [1, T, H·D]
+    sin_l = jnp.tile(sin, (1, heads))[None].astype(q.dtype)
+    return q * cos_l + rot(q) * sin_l, k * cos_l + rot(k) * sin_l
+
+
 def text_position_table(dim: int, max_pos: int = 8192, theta: float = 10000.0) -> np.ndarray:
     """Sinusoidal positions for the text encoder: cat(cos, sin) per position."""
     freqs = 1.0 / (theta ** (np.arange(0, dim, 2, dtype=np.float64)[: dim // 2] / dim))
@@ -357,7 +382,9 @@ class Attention(nn.Module):
     """Bidirectional self-attention with RoPE and key-padding masking.
 
     ``attn_impl`` overrides ``use_flash`` when set: one of "einsum",
-    "flash", "packed" (two-head lane packing), or "skip" (identity over V —
+    "lanes" (heads-in-lanes flash — padding-free [B, T, H·D] tensors, the
+    TPU default via use_flash), "flash" (classic [B·H, T, 64] layout),
+    "packed" (two-head lane packing), or "skip" (identity over V —
     measurement-only ablation that keeps projections but removes the
     attention op itself).
     """
@@ -380,50 +407,67 @@ class Attention(nn.Module):
     ) -> jnp.ndarray:
         B, T, _ = x.shape
         inner = self.heads * self.dim_head
-        impl = self.attn_impl or ("flash" if self.use_flash else "einsum")
+        impl = self.attn_impl or ("lanes" if self.use_flash else "einsum")
 
-        def heads_first(y: jnp.ndarray) -> jnp.ndarray:
-            return y.reshape(B, T, self.heads, self.dim_head).transpose(0, 2, 1, 3)
+        qf = nn.Dense(inner, dtype=self.dtype, name="to_q")(x)
+        kf = nn.Dense(inner, dtype=self.dtype, name="to_k")(x)
+        vf = nn.Dense(inner, dtype=self.dtype, name="to_v")(x)
 
-        q = heads_first(nn.Dense(inner, dtype=self.dtype, name="to_q")(x))
-        k = heads_first(nn.Dense(inner, dtype=self.dtype, name="to_k")(x))
-        v = heads_first(nn.Dense(inner, dtype=self.dtype, name="to_v")(x))
+        # padding is a length prefix throughout the framework
+        kv_lens = (
+            jnp.sum(mask.astype(jnp.int32), axis=-1)
+            if mask is not None
+            else jnp.full((B,), T, jnp.int32)
+        )
+        interpret = jax.default_backend() == "cpu"
 
-        if rope is not None:
-            q, k = apply_rope(q, k, rope[0], rope[1])
+        if impl == "lanes":
+            # stays in [B, T, H·D] end to end: no 64→128 lane padding, no
+            # head transposes (docs/KERNELS.md "heads-in-lanes")
+            from oron_tts_tpu.ops.flash_attention import flash_attention_lanes
 
-        if impl == "skip":
-            out = v + 0.0 * q
-        elif impl in ("flash", "packed"):
-            from oron_tts_tpu.ops.flash_attention import (
-                flash_attention_packed,
-                flash_attention_trainable,
+            q, k = (
+                apply_rope_lanes(qf, kf, rope[0], rope[1], self.heads)
+                if rope is not None else (qf, kf)
             )
-
-            # padding is a length prefix throughout the framework
-            kv_lens = (
-                jnp.sum(mask.astype(jnp.int32), axis=-1)
-                if mask is not None
-                else jnp.full((B,), T, jnp.int32)
+            out = flash_attention_lanes(
+                q, k, vf, kv_lens, self.heads, interpret
             )
-            interpret = jax.default_backend() == "cpu"
-            if impl == "packed":
-                out = flash_attention_packed(
-                    q, k, v, kv_lens=kv_lens, interpret=interpret
-                )
-            else:
-                out = flash_attention_trainable(q, k, v, kv_lens, interpret)
         else:
-            scale = 1.0 / math.sqrt(self.dim_head)
-            logits = jnp.einsum(
-                "bhtd,bhsd->bhts", q, k, preferred_element_type=jnp.float32
-            ) * scale
-            if mask is not None:
-                logits = jnp.where(mask[:, None, None, :], logits, -1e9)
-            probs = jax.nn.softmax(logits, axis=-1).astype(self.dtype)
-            out = jnp.einsum("bhts,bhsd->bhtd", probs, v)
+            def heads_first(y: jnp.ndarray) -> jnp.ndarray:
+                return y.reshape(
+                    B, T, self.heads, self.dim_head
+                ).transpose(0, 2, 1, 3)
 
-        out = out.transpose(0, 2, 1, 3).reshape(B, T, inner)
+            q, k, v = heads_first(qf), heads_first(kf), heads_first(vf)
+            if rope is not None:
+                q, k = apply_rope(q, k, rope[0], rope[1])
+
+            if impl == "skip":
+                out = v + 0.0 * q
+            elif impl in ("flash", "packed"):
+                from oron_tts_tpu.ops.flash_attention import (
+                    flash_attention_packed,
+                    flash_attention_trainable,
+                )
+
+                if impl == "packed":
+                    out = flash_attention_packed(
+                        q, k, v, kv_lens=kv_lens, interpret=interpret
+                    )
+                else:
+                    out = flash_attention_trainable(q, k, v, kv_lens, interpret)
+            else:
+                scale = 1.0 / math.sqrt(self.dim_head)
+                logits = jnp.einsum(
+                    "bhtd,bhsd->bhts", q, k, preferred_element_type=jnp.float32
+                ) * scale
+                if mask is not None:
+                    logits = jnp.where(mask[:, None, None, :], logits, -1e9)
+                probs = jax.nn.softmax(logits, axis=-1).astype(self.dtype)
+                out = jnp.einsum("bhts,bhsd->bhtd", probs, v)
+            out = out.transpose(0, 2, 1, 3).reshape(B, T, inner)
+
         out = nn.Dense(self.dim, dtype=self.dtype, name="to_out")(out)
         out = nn.Dropout(self.dropout)(out, deterministic=deterministic)
         if mask is not None:

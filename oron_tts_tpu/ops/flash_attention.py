@@ -358,6 +358,252 @@ def flash_attention_packed(
     return out.reshape(B, H, T, D)
 
 
+# ── heads-in-lanes layout (no [B, H, T, 64] tensors at all) ──────────────
+#
+# The classic layout reshapes projections to [B·H, T, 64]; TPU tiles pad
+# the 64-lane minor dim to 128, so every q/k/v/o tensor (and its VJP
+# residual) carries 2.0x HBM (~100 MB each at Base B=24/T=2048 — the OOM
+# margin that blocks the no-remat fast path, docs/KERNELS.md). These
+# kernels instead take q/k/v exactly as the Dense layers produce them —
+# [B, T, H·D] (H·D = 1024 → zero padding) — and slice each head's 64 lanes
+# in-register (Mosaic handles 64-offset lane slices; probed on v5e). This
+# also deletes the four [B,H,T,D] transposes per attention, which XLA had
+# to materialize as kernel operands.
+
+
+_LANE_TILE = 128  # TPU lane width; 2 heads of D=64 per lane tile
+
+
+def _flash_lanes_kernel(
+    lens_ref, q_ref, k_ref, v_ref, o_ref, *, d: int, sm_scale: float,
+    masked: bool,
+):
+    """One program per (batch, lane-tile, q-block); a lane tile is 128
+    lanes = _LANE_TILE//d heads, processed with in-register 64-lane slices."""
+    q = q_ref[0]  # [block_q, 128]
+    block_q, lanes = q.shape
+    t_kv = k_ref.shape[1]
+    kv_len = lens_ref[pl.program_id(0)]
+    s_scale = sm_scale * LOG2_E
+    k_all = k_ref[0]
+    v_all = v_ref[0]
+    if masked:
+        col_valid = (
+            jax.lax.broadcasted_iota(jnp.int32, (block_q, t_kv), 1) < kv_len
+        )
+    outs = []
+    for h in range(lanes // d):  # static unroll (2 heads per lane tile)
+        sl = slice(h * d, (h + 1) * d)
+        s = jax.lax.dot_general(
+            q[:, sl], k_all[:, sl], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * s_scale
+        if masked:
+            s = jnp.where(col_valid, s, NEG_INF)
+        m = jnp.max(s, axis=-1, keepdims=True)
+        p = jnp.exp2(s - m)
+        l = jnp.sum(p, axis=-1, keepdims=True)
+        acc = jax.lax.dot(
+            p.astype(v_all.dtype), v_all[:, sl],
+            preferred_element_type=jnp.float32,
+        )
+        outs.append(acc / jnp.maximum(l, 1e-30))
+    o_ref[0] = jnp.concatenate(outs, axis=-1).astype(o_ref.dtype)
+
+
+def _lanes_block_q(T: int, budget_bytes: int) -> int:
+    max_q = max(budget_bytes // (T * 4), 8)
+    return next(
+        (d for d in sorted((d for d in range(8, T + 1) if T % d == 0),
+                           reverse=True) if d <= max_q), 8
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("heads", "interpret"))
+def _flash_lanes_fwd_call(q, k, v, kv_lens, heads, interpret=False):
+    B, T, HD = q.shape
+    D = HD // heads
+    sm_scale = 1.0 / math.sqrt(D)
+    masked = kv_lens is not None
+    if kv_lens is None:
+        kv_lens = jnp.full((B,), T, jnp.int32)
+    n_lane_tiles = max(HD // _LANE_TILE, 1)
+    tile = min(_LANE_TILE, HD)
+    # one f32 score tile live at a time; q/k/v lane tiles are ~1 MB
+    block_q = _lanes_block_q(T, 6 * 1024 * 1024)
+    out = pl.pallas_call(
+        functools.partial(
+            _flash_lanes_kernel, d=D, sm_scale=sm_scale, masked=masked
+        ),
+        out_shape=jax.ShapeDtypeStruct((B, T, HD), q.dtype),
+        grid=(B, n_lane_tiles, T // block_q),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, block_q, tile), lambda b, h, i: (b, i, h),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, T, tile), lambda b, h, i: (b, 0, h),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, T, tile), lambda b, h, i: (b, 0, h),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, block_q, tile), lambda b, h, i: (b, i, h),
+                               memory_space=pltpu.VMEM),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * T * T * HD * B,
+            bytes_accessed=3 * B * T * HD * 2,
+            transcendentals=B * heads * T * T,
+        ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(kv_lens.astype(jnp.int32), q, k, v)
+    return out
+
+
+def _flash_lanes_bwd_kernel(
+    lens_ref, q_ref, k_ref, v_ref, o_ref, do_ref,
+    dq_ref, dk_ref, dv_ref,
+    *, d: int, block_q: int, sm_scale: float, masked: bool,
+):
+    """One program per (batch, lane-tile); fori over q blocks, static loop
+    over the tile's heads. dK/dV accumulate as f32 [T, 128] carries."""
+    t_kv, lanes = k_ref.shape[1], k_ref.shape[2]
+    num_q = t_kv // block_q
+    kv_len = lens_ref[pl.program_id(0)]
+    k_all = k_ref[0]
+    v_all = v_ref[0]
+    s_scale = sm_scale * LOG2_E
+    if masked:
+        col_valid = (
+            jax.lax.broadcasted_iota(jnp.int32, (block_q, t_kv), 1) < kv_len
+        )
+
+    def body(qi, carry):
+        dk_acc, dv_acc = carry
+        q = q_ref[0, pl.ds(qi * block_q, block_q), :]
+        do = do_ref[0, pl.ds(qi * block_q, block_q), :].astype(jnp.float32)
+        o = o_ref[0, pl.ds(qi * block_q, block_q), :].astype(jnp.float32)
+        dq_heads, dk_heads, dv_heads = [], [], []
+        for h in range(lanes // d):
+            sl = slice(h * d, (h + 1) * d)
+            qh = q[:, sl]
+            doh = do[:, sl]
+            s = jax.lax.dot_general(
+                qh, k_all[:, sl], (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ) * s_scale
+            if masked:
+                s = jnp.where(col_valid, s, NEG_INF)
+            m = jnp.max(s, axis=-1, keepdims=True)
+            p = jnp.exp2(s - m)
+            p = p / jnp.maximum(jnp.sum(p, axis=-1, keepdims=True), 1e-30)
+            dp = jax.lax.dot_general(
+                doh.astype(v_all.dtype), v_all[:, sl],
+                (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            delta = jnp.sum(doh * o[:, sl], axis=-1, keepdims=True)
+            ds = p * (dp - delta) * sm_scale
+            ds_lp = ds.astype(q.dtype)
+            p_lp = p.astype(q.dtype)
+            dq_heads.append(jax.lax.dot(
+                ds_lp, k_all[:, sl], preferred_element_type=jnp.float32,
+            ))
+            dk_heads.append(jax.lax.dot_general(
+                ds_lp, qh, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ))
+            dv_heads.append(jax.lax.dot_general(
+                p_lp, doh.astype(q.dtype), (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ))
+        dq_ref[0, pl.ds(qi * block_q, block_q), :] = jnp.concatenate(
+            dq_heads, axis=-1
+        ).astype(dq_ref.dtype)
+        dk_acc = dk_acc + jnp.concatenate(dk_heads, axis=-1)
+        dv_acc = dv_acc + jnp.concatenate(dv_heads, axis=-1)
+        return dk_acc, dv_acc
+
+    dk0 = jnp.zeros((t_kv, lanes), jnp.float32)
+    dv0 = jnp.zeros((t_kv, lanes), jnp.float32)
+    dk, dv = jax.lax.fori_loop(0, num_q, body, (dk0, dv0))
+    dk_ref[0] = dk.astype(dk_ref.dtype)
+    dv_ref[0] = dv.astype(dv_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("heads", "interpret"))
+def _flash_lanes_bwd_call(q, k, v, kv_lens, out, dout, heads, interpret=False):
+    B, T, HD = q.shape
+    D = HD // heads
+    sm_scale = 1.0 / math.sqrt(D)
+    n_lane_tiles = max(HD // _LANE_TILE, 1)
+    tile = min(_LANE_TILE, HD)
+    # 4 f32 [block_q, T] tiles live per head iteration, like the classic
+    # bwd kernel's budget
+    block_q = _lanes_block_q(T, 1536 * 1024 // 4)
+    full = pl.BlockSpec((1, T, tile), lambda b, h: (b, 0, h),
+                        memory_space=pltpu.VMEM)
+    dq, dk, dv = pl.pallas_call(
+        functools.partial(
+            _flash_lanes_bwd_kernel, d=D, block_q=block_q,
+            sm_scale=sm_scale, masked=True,
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((B, T, HD), q.dtype),
+            jax.ShapeDtypeStruct((B, T, HD), k.dtype),
+            jax.ShapeDtypeStruct((B, T, HD), v.dtype),
+        ),
+        grid=(B, n_lane_tiles),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM), full, full, full,
+                  full, full],
+        out_specs=(full, full, full),
+        cost_estimate=pl.CostEstimate(
+            flops=10 * T * T * HD * B,
+            bytes_accessed=6 * B * T * HD * 2,
+            transcendentals=B * heads * T * T,
+        ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(
+        kv_lens.astype(jnp.int32), q, k, v, out, dout,
+    )
+    return dq, dk, dv
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
+def flash_attention_lanes(q, k, v, kv_lens, heads, interpret=False):
+    """Differentiable flash attention over the padding-free lanes layout.
+
+    q, k, v: [B, T, H·D] exactly as the QKV Dense layers emit them; returns
+    [B, T, H·D]. Saves ~2x HBM on every attention tensor and residual vs
+    the [B, H, T, 64] layout (64→128 lane padding) and removes the head
+    transposes — the enabler for the no-remat training fast path
+    (docs/KERNELS.md "Base train step").
+    """
+    return _flash_lanes_fwd_call(q, k, v, kv_lens, heads, interpret)
+
+
+def _fal_fwd(q, k, v, kv_lens, heads, interpret):
+    if kv_lens is None:
+        kv_lens = jnp.full((q.shape[0],), q.shape[1], jnp.int32)
+    out = _flash_lanes_fwd_call(q, k, v, kv_lens, heads, interpret)
+    return out, (q, k, v, kv_lens, out)
+
+
+def _fal_bwd(heads, interpret, residuals, dout):
+    q, k, v, kv_lens, out = residuals
+    dq, dk, dv = _flash_lanes_bwd_call(
+        q, k, v, kv_lens, out, dout, heads, interpret
+    )
+    return dq, dk, dv, None
+
+
+flash_attention_lanes.defvjp(_fal_fwd, _fal_bwd)
+
+
 # ── backward (custom VJP) ────────────────────────────────────────────────
 
 

@@ -197,6 +197,24 @@ def test_synthesize_batch():
     assert model.synthesize_batch([]) == []
 
 
+def test_length_groups():
+    """Sorted greedy grouping: similar lengths share a bucket, a long
+    outlier gets its own, nothing dropped, max_batch respected."""
+    lens = [100, 110, 1500, 105, 98, 1480]
+    groups = F5TTS._length_groups(lens, pad_to_multiple=64, max_batch=16)
+    covered = sorted(i for g in groups for i in g)
+    assert covered == list(range(len(lens)))
+    # short cluster together, long cluster together, never mixed
+    for g in groups:
+        vals = [lens[i] for i in g]
+        assert max(vals) <= max(min(vals) * 1.3, min(vals) + 64)
+    assert len(groups) == 2
+    # max_batch splits an oversized cluster
+    many = [100] * 40
+    groups = F5TTS._length_groups(many, pad_to_multiple=64, max_batch=16)
+    assert [len(g) for g in groups] == [16, 16, 8]
+
+
 def test_synthesize_batch_composition_invariant():
     """Row i's audio must not depend on its batch neighbors or the shared
     bucket length (VERDICT r1 #7; reference flow.py:269-283 seeds noise

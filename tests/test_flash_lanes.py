@@ -1,0 +1,140 @@
+"""Heads-in-lanes flash attention vs einsum reference (interpret on CPU).
+
+The lanes layout keeps q/k/v as [B, T, H·D] (zero lane padding, no head
+transposes — ops/flash_attention.py "heads-in-lanes"); these tests pin its
+forward and custom-VJP numerics to the classic einsum path, including the
+lanes-layout RoPE and the end-to-end DiT integration (attn_impl="lanes" is
+the TPU default via use_flash).
+"""
+
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from oron_tts_tpu.models.layers import apply_rope, apply_rope_lanes
+from oron_tts_tpu.ops.flash_attention import flash_attention_lanes
+
+
+def ref_attention_lanes(q, k, v, heads, lens=None):
+    """einsum attention on the [B, T, H·D] layout via heads-first reshape."""
+    B, T, HD = q.shape
+    d = HD // heads
+
+    def hf(x):
+        return x.reshape(B, T, heads, d).transpose(0, 2, 1, 3)
+
+    qh, kh, vh = hf(q), hf(k), hf(v)
+    s = jnp.einsum("bhtd,bhsd->bhts", qh, kh) / math.sqrt(d)
+    if lens is not None:
+        mask = np.arange(T)[None, :] < np.asarray(lens)[:, None]
+        s = jnp.where(jnp.asarray(mask)[:, None, None, :], s, -1e30)
+    p = jax.nn.softmax(s, axis=-1)
+    o = jnp.einsum("bhts,bhsd->bhtd", p, vh)
+    return o.transpose(0, 2, 1, 3).reshape(B, T, HD)
+
+
+@pytest.mark.parametrize("T,heads", [(128, 2), (256, 4)])
+def test_lanes_forward_matches_einsum(T, heads):
+    rng = np.random.default_rng(0)
+    B, D = 2, 64
+    HD = heads * D
+    q = rng.standard_normal((B, T, HD)).astype(np.float32)
+    k = rng.standard_normal((B, T, HD)).astype(np.float32)
+    v = rng.standard_normal((B, T, HD)).astype(np.float32)
+    lens = jnp.asarray([T, T - 37], jnp.int32)
+    out = flash_attention_lanes(q, k, v, lens, heads, True)
+    ref = ref_attention_lanes(q, k, v, heads, lens=[T, T - 37])
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+
+def test_lanes_gradients_match_einsum():
+    rng = np.random.default_rng(1)
+    B, T, heads, D = 2, 128, 2, 64
+    HD = heads * D
+    q = rng.standard_normal((B, T, HD)).astype(np.float32)
+    k = rng.standard_normal((B, T, HD)).astype(np.float32)
+    v = rng.standard_normal((B, T, HD)).astype(np.float32)
+    lens = jnp.asarray([T, T - 50], jnp.int32)
+    valid = (np.arange(T)[None, :, None] < np.asarray([T, T - 50])[:, None, None])
+
+    def loss_flash(q, k, v):
+        o = flash_attention_lanes(q, k, v, lens, heads, True)
+        return jnp.sum(jnp.where(jnp.asarray(valid), o, 0.0) ** 2)
+
+    def loss_ref(q, k, v):
+        o = ref_attention_lanes(q, k, v, heads, lens=[T, T - 50])
+        return jnp.sum(jnp.where(jnp.asarray(valid), o, 0.0) ** 2)
+
+    gf = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    gr = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, b, name in zip(gf, gr, "qkv"):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=2e-4,
+            err_msg=f"d{name} mismatch",
+        )
+
+
+def test_rope_lanes_matches_heads_first():
+    rng = np.random.default_rng(2)
+    B, T, heads, D = 2, 64, 4, 32
+    HD = heads * D
+    q = rng.standard_normal((B, T, HD)).astype(np.float32)
+    k = rng.standard_normal((B, T, HD)).astype(np.float32)
+    angles = np.outer(np.arange(T), 1.0 / 10000 ** (np.arange(D) / D))
+    cos, sin = np.cos(angles).astype(np.float32), np.sin(angles).astype(np.float32)
+
+    ql, kl = apply_rope_lanes(jnp.asarray(q), jnp.asarray(k),
+                              jnp.asarray(cos), jnp.asarray(sin), heads)
+
+    def hf(x):
+        return x.reshape(B, T, heads, D).transpose(0, 2, 1, 3)
+
+    qh, kh = apply_rope(hf(jnp.asarray(q)), hf(jnp.asarray(k)),
+                        jnp.asarray(cos), jnp.asarray(sin))
+
+    def back(x):
+        return np.asarray(x).transpose(0, 2, 1, 3).reshape(B, T, HD)
+
+    np.testing.assert_allclose(np.asarray(ql), back(qh), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(kl), back(kh), atol=1e-6)
+
+
+def test_dit_block_lanes_matches_einsum():
+    """Full DiT forward: attn_impl='lanes' ≡ attn_impl='einsum'."""
+    from oron_tts_tpu.models.dit import DiT
+
+    kw = dict(dim=64, depth=2, heads=2, dim_head=32, ff_mult=2, dropout=0.0,
+              mel_dim=16, vocab_size=65, text_dim=32, conv_layers=1)
+    rng = np.random.default_rng(3)
+    B, T = 2, 64
+    x = jnp.asarray(rng.standard_normal((B, T, 16)), jnp.float32)
+    cond = jnp.asarray(rng.standard_normal((B, T, 16)), jnp.float32)
+    text = jnp.asarray(rng.integers(0, 64, (B, T)), jnp.int32)
+    t = jnp.asarray([0.3, 0.8], jnp.float32)
+    mask = jnp.asarray(np.arange(T)[None, :] < np.asarray([T, T - 20])[:, None])
+
+    m_e = DiT(**kw, attn_impl="einsum")
+    variables = m_e.init(jax.random.PRNGKey(0), x, cond, text, t, mask=mask)
+    out_e = m_e.apply(variables, x, cond, text, t, mask=mask)
+    m_l = DiT(**kw, attn_impl="lanes")
+    out_l = m_l.apply(variables, x, cond, text, t, mask=mask)
+    np.testing.assert_allclose(
+        np.asarray(out_l), np.asarray(out_e), atol=3e-5
+    )
+
+    # and gradients flow through the lanes custom VJP inside the full model
+    # (linear probe loss: DiT's zero-init proj_out makes o≈0, so a squared
+    # loss would have zero gradient at init)
+    probe = jnp.asarray(rng.standard_normal(out_e.shape), jnp.float32)
+
+    def loss(params):
+        o = m_l.apply({"params": params}, x, cond, text, t, mask=mask)
+        return jnp.sum(o * probe)
+
+    g = jax.grad(loss)(variables["params"])
+    leaves = jax.tree_util.tree_leaves(g)
+    assert all(np.isfinite(np.asarray(x)).all() for x in leaves)
+    assert any(float(jnp.abs(x).sum()) > 0 for x in leaves)
