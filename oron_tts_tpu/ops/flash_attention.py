@@ -429,8 +429,10 @@ def _flash_lanes_fwd_call(q, k, v, kv_lens, heads, interpret=False):
         kv_lens = jnp.full((B,), T, jnp.int32)
     n_lane_tiles = max(HD // _LANE_TILE, 1)
     tile = min(_LANE_TILE, HD)
-    # one f32 score tile live at a time; q/k/v lane tiles are ~1 MB
-    block_q = _lanes_block_q(T, 6 * 1024 * 1024)
+    # one f32 score tile live at a time (plus its bf16 p copy); q/k/v lane
+    # tiles are ~0.5 MB, so the score tile can take the classic
+    # single-KV-block budget (block_q=1024 at T=2048)
+    block_q = _lanes_block_q(T, 9 * 1024 * 1024)
     out = pl.pallas_call(
         functools.partial(
             _flash_lanes_kernel, d=D, sm_scale=sm_scale, masked=masked
@@ -539,9 +541,11 @@ def _flash_lanes_bwd_call(q, k, v, kv_lens, out, dout, heads, interpret=False):
     sm_scale = 1.0 / math.sqrt(D)
     n_lane_tiles = max(HD // _LANE_TILE, 1)
     tile = min(_LANE_TILE, HD)
-    # 4 f32 [block_q, T] tiles live per head iteration, like the classic
-    # bwd kernel's budget
-    block_q = _lanes_block_q(T, 1536 * 1024 // 4)
+    # 4 f32 [block_q, T] tiles live per head iteration — the heads run
+    # sequentially, so the live set matches the classic bwd kernel and the
+    # budget must too (a 4x smaller block measured 2805 vs 2087 ms/step:
+    # tiny [32, T] matmuls starve the MXU)
+    block_q = _lanes_block_q(T, 1536 * 1024)
     full = pl.BlockSpec((1, T, tile), lambda b, h: (b, 0, h),
                         memory_space=pltpu.VMEM)
     dq, dk, dv = pl.pallas_call(

@@ -34,8 +34,15 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--checkpoint", type=str, required=True,
                     help=".npz file or checkpoint dir (latest vocos_step_*)")
-    ap.add_argument("--data-dir", type=str, required=True,
+    ap.add_argument("--data-dir", type=str, default=None,
                     help="metadata.json corpus for held-out evaluation")
+    ap.add_argument("--hf-dataset", type=str, default=None,
+                    help="REAL-speech eval: stream clips from an HF dataset "
+                         "(e.g. btsee/mbspeech_mn) instead of --data-dir; "
+                         "clips never overlap vocoder training data, so "
+                         "--holdout-frac is ignored. Needs network.")
+    ap.add_argument("--hf-split", type=str, default="train")
+    ap.add_argument("--hf-audio-column", type=str, default="audio")
     ap.add_argument("--clips", type=int, default=32)
     ap.add_argument("--seconds", type=float, default=2.0,
                     help="evaluated length per clip")
@@ -84,35 +91,69 @@ def main() -> None:
         layer_scale=bool(voc_cfg.get("layer_scale", False)),
     )
 
-    metadata = json.loads((Path(args.data_dir) / "metadata.json").read_text())
-    # the held-out pool is EXACTLY what train_vocoder.py excluded with the
-    # same --holdout-frac; never widen it to satisfy --clips, or the
-    # "held-out" metrics would silently include training clips
-    n_hold = int(len(metadata) * args.holdout_frac)
-    if n_hold == 0:
-        raise SystemExit(
-            f"holdout pool is empty ({len(metadata)} clips x "
-            f"--holdout-frac {args.holdout_frac}); nothing to evaluate"
-        )
-    if args.clips > n_hold:
-        print(f"[WARN] --clips {args.clips} > holdout pool {n_hold}; "
-              f"clamping to {n_hold} to keep the eval held-out")
-        args.clips = n_hold
-    held = metadata[-n_hold:][: args.clips]
     crop = int(args.seconds * mel_cfg.sample_rate)
     crop -= crop % mel_cfg.hop_length
 
     wavs = []
-    for m in held:
-        wav, sr = read_wav(m["audio_path"])
-        if wav.ndim > 1:
-            wav = wav.mean(axis=1)
-        if sr != mel_cfg.sample_rate:
-            wav = resample(wav, sr, mel_cfg.sample_rate)
-        wav = normalize_peak(wav.astype(np.float32))
-        if len(wav) < crop:
-            wav = np.pad(wav, (0, crop - len(wav)))
-        wavs.append(wav[:crop])
+    if args.hf_dataset:
+        # real-speech path (VERDICT r2 #2): streamed clips are disjoint
+        # from vocoder training by construction (the trainer only ever
+        # sees local --data-dir corpora)
+        from datasets import Audio, load_dataset
+
+        from oron_tts_tpu.data.wav import decode_audio_bytes
+
+        ds = load_dataset(args.hf_dataset, split=args.hf_split, streaming=True)
+        ds = ds.cast_column(args.hf_audio_column, Audio(decode=False))
+        n_clips = 0
+        for item in ds:
+            raw = item[args.hf_audio_column].get("bytes")
+            if not raw:
+                continue
+            try:
+                wav = decode_audio_bytes(raw, mel_cfg.sample_rate)
+            except Exception:
+                continue
+            wav = normalize_peak(wav.astype(np.float32))
+            if len(wav) < crop:
+                continue  # want full-length real clips
+            wavs.append(wav[:crop])
+            n_clips += 1
+            if n_clips >= args.clips:
+                break
+        held = wavs
+        if not wavs:
+            raise SystemExit(f"no usable clips streamed from {args.hf_dataset}")
+        print(f"evaluating on {len(wavs)} REAL clips from {args.hf_dataset}")
+    else:
+        if not args.data_dir:
+            raise SystemExit("pass --data-dir or --hf-dataset")
+        metadata = json.loads(
+            (Path(args.data_dir) / "metadata.json").read_text())
+        # the held-out pool is EXACTLY what train_vocoder.py excluded with
+        # the same --holdout-frac; never widen it to satisfy --clips, or
+        # the "held-out" metrics would silently include training clips
+        n_hold = int(len(metadata) * args.holdout_frac)
+        if n_hold == 0:
+            raise SystemExit(
+                f"holdout pool is empty ({len(metadata)} clips x "
+                f"--holdout-frac {args.holdout_frac}); nothing to evaluate"
+            )
+        if args.clips > n_hold:
+            print(f"[WARN] --clips {args.clips} > holdout pool {n_hold}; "
+                  f"clamping to {n_hold} to keep the eval held-out")
+            args.clips = n_hold
+        held = metadata[-n_hold:][: args.clips]
+        for m in held:
+            wav, sr = read_wav(m["audio_path"])
+            if wav.ndim > 1:
+                wav = wav.mean(axis=1)
+            if sr != mel_cfg.sample_rate:
+                wav = resample(wav, sr, mel_cfg.sample_rate)
+            wav = normalize_peak(wav.astype(np.float32))
+            if len(wav) < crop:
+                wav = np.pad(wav, (0, crop - len(wav)))
+            wavs.append(wav[:crop])
     target = jnp.asarray(np.stack(wavs))
     t_frames = crop // mel_cfg.hop_length
     mel = log_mel_spectrogram(target, mel_cfg)[..., :t_frames]
@@ -133,6 +174,7 @@ def main() -> None:
           f"({len(held)} held-out clips x {args.seconds:.1f}s)")
 
     result = {"checkpoint": str(ckpt), "step": int(meta.get("step", 0)),
+              "source": args.hf_dataset or args.data_dir,
               "clips": len(held), "mr_stft": round(float(mr), 4),
               "mel_l1": round(float(mel_l1), 4)}
 

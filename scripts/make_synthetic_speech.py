@@ -113,6 +113,101 @@ def speech_clip(rng: np.random.Generator, seconds: float) -> np.ndarray:
         if peak > 0 else out.astype(np.float32)
 
 
+def ood_speech_clip(rng: np.random.Generator, seconds: float) -> np.ndarray:
+    """Out-of-distribution speech-like clip (``--family ood``).
+
+    Deliberately a DIFFERENT synthesis mechanism from :func:`speech_clip`
+    so the two corpora have different joint magnitude/phase statistics —
+    vocoder metrics on this family are evidence of generalization beyond
+    the training distribution, not memorization of it (VERDICT r2 #3):
+    - time-domain glottal pulse train with jitter/shimmer (speech_clip
+      stacks harmonic sines with random phases),
+    - cascade of 2nd-order IIR resonators (speech_clip filters STFT
+      magnitudes frame-wise; IIR has causal phase),
+    - plosive bursts + aspiration, breathy voicing, f0 declination with
+      accent peaks (speech_clip uses a zero-drift random walk),
+    - a short exponential reverb tail.
+    """
+    n = int(SR * seconds)
+    # f0: declining baseline + accent peaks (different dynamics family)
+    f0_base = rng.uniform(90, 280)
+    decl = np.linspace(1.15, 0.85, n)
+    accents = np.zeros(n)
+    for _ in range(int(seconds * rng.uniform(1.0, 3.0))):
+        c = rng.integers(0, n)
+        w = int(SR * rng.uniform(0.05, 0.2))
+        lo, hi = max(0, c - w), min(n, c + w)
+        accents[lo:hi] += rng.uniform(0.05, 0.25) * np.hanning(hi - lo)
+    f0 = f0_base * decl * (1 + accents)
+
+    # glottal pulse train with jitter (period perturbation) and shimmer
+    # (amplitude perturbation); pulses are asymmetric (LF-ish shape)
+    source = np.zeros(n)
+    pos = 0
+    while pos < n - 8:
+        period = SR / f0[pos] * (1 + rng.normal(0, 0.02))  # jitter
+        p_len = max(8, int(period))
+        open_len = max(4, int(p_len * rng.uniform(0.4, 0.7)))
+        pulse = np.zeros(p_len)
+        ph = np.linspace(0, np.pi, open_len)
+        pulse[:open_len] = np.sin(ph) ** 2 * np.linspace(1, 0.2, open_len)
+        amp = 1 + rng.normal(0, 0.08)  # shimmer
+        end = min(pos + p_len, n)
+        source[pos:end] += amp * pulse[: end - pos]
+        pos += p_len
+    # differentiate -> glottal flow derivative (spectral tilt)
+    source = np.diff(source, prepend=0.0)
+
+    # voicing/energy gating at syllable rate, with plosives + fricatives
+    seg_len = int(SR * rng.uniform(0.06, 0.22))
+    x = np.zeros(n)
+    pos = 0
+    while pos < n:
+        ln = min(seg_len + int(rng.integers(-seg_len // 3, seg_len // 3 + 1)),
+                 n - pos)
+        kind = rng.random()
+        seg = slice(pos, pos + ln)
+        if kind < 0.5:       # breathy voiced: pulses + aspiration noise
+            breath = rng.uniform(0.05, 0.25)
+            x[seg] = source[seg] + breath * rng.standard_normal(ln)
+            x[seg] *= rng.uniform(0.5, 1.0)
+        elif kind < 0.68:    # fricative: shaped noise only
+            x[seg] = rng.standard_normal(ln) * rng.uniform(0.1, 0.4)
+        elif kind < 0.8 and ln > int(0.03 * SR):  # plosive: gap + burst
+            burst_at = pos + ln // 2
+            blen = int(SR * rng.uniform(0.005, 0.02))
+            x[burst_at: burst_at + blen] = (
+                rng.standard_normal(min(blen, n - burst_at))
+                * np.exp(-np.arange(min(blen, n - burst_at)) / (0.004 * SR))
+                * rng.uniform(0.5, 1.2)
+            )
+        # else: silence
+        pos += ln
+
+    # cascade IIR resonators (vocal tract); different center statistics too
+    from scipy.signal import lfilter
+
+    n_res = int(rng.integers(3, 6))
+    centers = np.sort(rng.uniform(250, 5200, n_res))
+    y = x
+    for c in centers:
+        bw = rng.uniform(60, 250)
+        r = np.exp(-np.pi * bw / SR)
+        theta = 2 * np.pi * c / SR
+        b0 = (1 - r) * np.sqrt(1 - 2 * r * np.cos(2 * theta) + r * r)
+        y = 0.55 * y + lfilter([b0], [1, -2 * r * np.cos(theta), r * r], y)
+
+    # short exponential reverb tail (none in the training family)
+    tail = int(SR * rng.uniform(0.02, 0.08))
+    ir = rng.standard_normal(tail) * np.exp(-np.arange(tail) / (tail / 4))
+    ir[0] = 1.0
+    y = np.convolve(y, ir * rng.uniform(0.05, 0.2), mode="full")[:n] + y
+
+    peak = np.abs(y).max()
+    return (y / peak * rng.uniform(0.5, 0.95)).astype(np.float32) \
+        if peak > 0 else y.astype(np.float32)
+
+
 def coverage_clip(rng: np.random.Generator, seconds: float) -> np.ndarray:
     """Sweeps / colored noise / tone stacks: mel-space coverage fillers."""
     n = int(SR * seconds)
@@ -144,6 +239,12 @@ def main() -> None:
     ap.add_argument("-n", "--num-clips", type=int, default=1500)
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--coverage-fraction", type=float, default=0.15)
+    ap.add_argument("--family", type=str, default="train",
+                    choices=["train", "ood"],
+                    help="'train' = the vocoder-training distribution; "
+                         "'ood' = a structurally different generator for "
+                         "out-of-distribution evaluation (no coverage "
+                         "fillers)")
     args = ap.parse_args()
 
     out = Path(args.out)
@@ -153,7 +254,9 @@ def main() -> None:
     total = 0.0
     for i in range(args.num_clips):
         seconds = float(rng.uniform(2.0, 5.0))
-        if rng.random() < args.coverage_fraction:
+        if args.family == "ood":
+            clip = ood_speech_clip(rng, seconds)
+        elif rng.random() < args.coverage_fraction:
             clip = coverage_clip(rng, seconds)
         else:
             clip = speech_clip(rng, seconds)
