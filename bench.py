@@ -289,14 +289,18 @@ def bench_train_step(jax, jnp) -> dict:
     from oron_tts_tpu.models.dit import DiT
     from oron_tts_tpu.train.trainer import (
         TrainState,
+        compile_train_step_auto,
         make_lr_schedule,
         make_optimizer,
-        make_train_step,
     )
 
-    B = int(os.environ.get("ORON_TRAIN_B", 24))
+    # default = the trainer's auto-selected fast path on one 16 GB chip:
+    # 24,576 frames (the per-chip share of the reference's 48k frame
+    # budget at dp=2) fits HBM without remat thanks to the lanes-layout
+    # attention + bf16 Adam mu (utils/memory.py; docs/KERNELS.md table)
+    B = int(os.environ.get("ORON_TRAIN_B", 12))
     T = int(os.environ.get("ORON_TRAIN_T", 2048))
-    remat = os.environ.get("ORON_TRAIN_REMAT", "1") != "0"
+    remat = os.environ.get("ORON_TRAIN_REMAT", "0") != "0"
     impl = os.environ.get("ORON_TRAIN_IMPL", "lanes")
     mu_bf16 = os.environ.get("ORON_TRAIN_MU", "bf16") == "bf16"
     print(f"# train config: B={B} T={T} remat={remat} impl={impl} "
@@ -338,21 +342,24 @@ def bench_train_step(jax, jnp) -> dict:
         "text_ids": jax.random.randint(k3, (B, T), 0, 65, dtype=jnp.int32),
         "mel_lengths": jnp.asarray(lens),
     }
-    step = make_train_step(cfm, tx, ema_decay=0.9999)
-
+    # AOT AUTO-layout compile: ONE executable whose donated state
+    # input/output layouts match, so the old "donation recompile" phase
+    # (52-315 s, VERDICT r2 #4) no longer exists
     t0 = time.perf_counter()
+    step, state, _ = compile_train_step_auto(
+        cfm, tx, 0.9999, state, batch, k1
+    )
     state, metrics = step(state, batch, k1)
     loss0 = float(metrics["loss"])
     compile_s = time.perf_counter() - t0
     print(f"# train compile+first-step: {compile_s:.1f}s loss={loss0:.3f}",
           file=sys.stderr)
-    # second warmup: the donated-buffer call signature triggers ONE more
-    # XLA compile (output layouts differ from the fresh input arrays); it
-    # must not land inside the timed loop (it once read as a 23.7 s "step")
+    # one more step to confirm the aliased feedback call reuses the
+    # executable (it is timed: a recompile here would show as a huge step)
     t0 = time.perf_counter()
     state, metrics = step(state, batch, jax.random.fold_in(k1, 999))
     float(metrics["loss"])
-    print(f"# train donation recompile: {time.perf_counter()-t0:.1f}s",
+    print(f"# train second step (no recompile): {time.perf_counter()-t0:.1f}s",
           file=sys.stderr)
 
     iters = 8

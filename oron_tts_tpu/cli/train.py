@@ -292,6 +292,28 @@ def main() -> None:
             num_workers=max(num_workers // 2, 1),
         )
 
+    if config.get("gradient_checkpointing") == "auto":
+        # no-remat is ~15-20% faster when the step fits HBM (the
+        # multi-chip DP regime almost always does: per-chip frames =
+        # budget / dp) — pick by memory estimate (utils/memory.py)
+        from oron_tts_tpu.data.dataset import frames_for_duration
+        from oron_tts_tpu.utils.memory import auto_gradient_checkpointing
+
+        if batch_size_type == "frame":
+            global_frames = int(config.get("frames_threshold", 6000))
+        else:
+            global_frames = batch_size * frames_for_duration(
+                config.get("max_duration_s", 30.0),
+                sample_rate, hop_length,
+            )
+        per_chip = -(-global_frames // max(dp_size, 1))
+        config["gradient_checkpointing"] = auto_gradient_checkpointing(
+            config, per_chip
+        )
+        print(f"gradient_checkpointing=auto -> "
+              f"{config['gradient_checkpointing']} "
+              f"({per_chip} frames/chip)")
+
     f5cfg = F5Config.from_dict(config)
     dtype = (
         jnp.bfloat16

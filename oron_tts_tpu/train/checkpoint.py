@@ -62,15 +62,31 @@ def unflatten_tree(flat: Mapping[str, np.ndarray]) -> Any:
 
 def save_pytree_npz(path: str | Path, trees: Mapping[str, Any],
                     meta: Mapping[str, Any] | None = None) -> None:
-    """trees: name → pytree, e.g. {"params": ..., "ema": ..., "opt": ...}."""
+    """trees: name → pytree, e.g. {"params": ..., "ema": ..., "opt": ...}.
+
+    bfloat16 leaves (e.g. Adam mu under ``adam_mu_dtype: bfloat16``) are
+    stored as uint16 views with their keys recorded in the metadata —
+    np.savez has no bfloat16 and would silently write a void dtype that
+    neither numpy nor JAX can interpret on load.
+    """
+    import ml_dtypes
+
     flat: dict[str, np.ndarray] = {}
     for name, tree in trees.items():
         if tree is None:
             continue
         flat.update(flatten_tree(jax.device_get(tree), name))
-    if meta:
+    bf16_keys = []
+    for key, value in flat.items():
+        if value.dtype == ml_dtypes.bfloat16:
+            flat[key] = value.view(np.uint16)
+            bf16_keys.append(key)
+    full_meta = dict(meta or {})
+    if bf16_keys:
+        full_meta["__bf16__"] = bf16_keys
+    if full_meta:
         flat["__meta__"] = np.frombuffer(
-            json.dumps(dict(meta)).encode(), dtype=np.uint8
+            json.dumps(full_meta).encode(), dtype=np.uint8
         )
     tmp = Path(path).with_name(".tmp-" + Path(path).name)
     np.savez(tmp, **flat)
@@ -79,12 +95,22 @@ def save_pytree_npz(path: str | Path, trees: Mapping[str, Any],
 
 def load_pytree_npz(path: str | Path) -> tuple[dict[str, Any], dict[str, Any]]:
     """Returns ({name: pytree}, meta)."""
+    import ml_dtypes
+
     with np.load(path) as data:
         flat = {k: data[k] for k in data.files}
     meta: dict[str, Any] = {}
     raw_meta = flat.pop("__meta__", None)
     if raw_meta is not None:
         meta = json.loads(raw_meta.tobytes().decode())
+    for key in meta.pop("__bf16__", []):
+        if key in flat:
+            flat[key] = flat[key].view(ml_dtypes.bfloat16)
+    for key, value in flat.items():
+        # checkpoints written before the bf16 marker stored bf16 as a raw
+        # void dtype; the only 2-byte void producer here was bfloat16
+        if value.dtype.kind == "V" and value.dtype.itemsize == 2:
+            flat[key] = value.view(ml_dtypes.bfloat16)
     groups: dict[str, dict[str, np.ndarray]] = {}
     for key, value in flat.items():
         name, _, rest = key.partition(_SEP)

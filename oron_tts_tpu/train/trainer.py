@@ -124,8 +124,8 @@ def _guarded_update(
     return new_state, grad_norm, ok
 
 
-def make_train_step(cfm: Any, tx: optax.GradientTransformation, ema_decay: float):
-    """Fused loss+grad+update+EMA step with non-finite skip guard."""
+def _train_step_fn(cfm: Any, tx: optax.GradientTransformation, ema_decay: float):
+    """Raw (unjitted) fused loss+grad+update+EMA step with skip guard."""
 
     def step_fn(state: TrainState, batch: dict[str, jnp.ndarray], rng: jax.Array):
         def loss_fn(params):
@@ -145,7 +145,57 @@ def make_train_step(cfm: Any, tx: optax.GradientTransformation, ema_decay: float
         metrics = {"loss": loss, "grad_norm": grad_norm, "ok": ok}
         return new_state, metrics
 
-    return jax.jit(step_fn, donate_argnums=(0,))
+    return step_fn
+
+
+def make_train_step(cfm: Any, tx: optax.GradientTransformation, ema_decay: float):
+    """Fused loss+grad+update+EMA step with non-finite skip guard."""
+    return jax.jit(_train_step_fn(cfm, tx, ema_decay), donate_argnums=(0,))
+
+
+def compile_train_step_auto(
+    cfm: Any, tx: optax.GradientTransformation, ema_decay: float,
+    state: TrainState, batch: dict[str, Any], rng: jax.Array,
+    state_format: Any | None = None,
+):
+    """AOT-compile the donated train step with AUTO layouts (one compile).
+
+    A donated jit step normally compiles TWICE: once for default-layout
+    inputs, then again on the first call whose inputs alias the previous
+    outputs (different layouts) — 52-315 s at Base scale (docs/KERNELS.md
+    "Donated-buffer second compile", VERDICT r2 #4). Compiling with
+    ``Layout.AUTO`` lets XLA pick ONE layout for the donated state's
+    input and output, so the aliased feedback call hits the same
+    executable. Returns ``(step, state, state_format)`` with ``state``
+    re-laid-out to the compiled input format; pass ``state_format`` back
+    in when compiling further batch shapes so every executable shares the
+    state layout (no ping-ponging).
+    """
+    from jax.experimental.layout import Format, Layout
+
+    auto = Format(Layout.AUTO)
+    in_fmts = (state_format if state_format is not None else auto, auto, auto)
+    # TPU requires abstract avals with Layout.AUTO (concrete arrays carry
+    # a committed layout and are rejected)
+    abstract = jax.tree_util.tree_map(
+        lambda x: jax.ShapeDtypeStruct(jnp.shape(x), jnp.result_type(x)),
+        (state, batch, rng),
+    )
+    compiled = jax.jit(
+        _train_step_fn(cfm, tx, ema_decay), donate_argnums=(0,),
+        in_shardings=in_fmts, out_shardings=Format(Layout.AUTO),
+    ).lower(*abstract).compile()
+    state_fmt, batch_fmt, rng_fmt = compiled.input_formats[0]
+    state = jax.device_put(state, state_fmt)
+
+    def step(state: TrainState, batch: dict[str, Any], rng: jax.Array):
+        return compiled(
+            state,
+            jax.device_put(batch, batch_fmt),
+            jax.device_put(rng, rng_fmt),
+        )
+
+    return step, state, state_fmt
 
 
 def make_eval_step(cfm: Any):
@@ -283,12 +333,16 @@ class F5Trainer:
         total_steps = num_epochs * steps_per_epoch
 
         self.schedule = make_lr_schedule(lr, warmup_steps, total_steps)
+        # bf16 first moment is the shipped default (docs/KERNELS.md train
+        # ablation: frees ~0.9 GB at Base scale, no measured loss impact;
+        # set adam_mu_dtype: float32 to opt out)
         self.tx = make_optimizer(
             self.schedule,
             betas=betas,
             max_grad_norm=config.get("max_grad_norm", 1.0),
             mu_dtype=(jnp.bfloat16
-                      if config.get("adam_mu_dtype") == "bfloat16" else None),
+                      if config.get("adam_mu_dtype", "bfloat16") == "bfloat16"
+                      else None),
         )
         self.ema_decay = config.get("ema_decay", 0.9999)
 
@@ -309,6 +363,12 @@ class F5Trainer:
         self._accum_step = make_accum_step(model.cfm)
         self._apply_accum = make_apply_accum_step(self.tx, self.ema_decay)
         self._zero_accum = make_zero_accum()
+        # AOT AUTO-layout steps (one compile per batch shape, no donation
+        # recompile); mesh runs keep plain jit — GSPMD shardings already
+        # pin layouts there
+        self.use_aot = bool(config.get("aot_train_step", True)) and mesh is None
+        self._aot_steps: dict[Any, Any] = {}
+        self._state_format: Any | None = None
 
         self.global_step = 0
         self.epoch = 0
@@ -390,6 +450,37 @@ class F5Trainer:
         return None
 
     # ── steps ────────────────────────────────────────────────────────────
+
+    def _get_train_step(self, batch: dict[str, Any], rng: jax.Array):
+        """Fused-step callable for this batch shape.
+
+        With ``aot_train_step`` (default, single-chip) each new batch
+        shape AOT-compiles ONCE with AUTO layouts — the donated state's
+        input/output layouts match, so the classic second compile on the
+        aliased feedback call never happens. Falls back to the plain jit
+        step on any failure.
+        """
+        if not self.use_aot:
+            return self._train_step
+        key = tuple(
+            (k, tuple(v.shape), str(getattr(v, "dtype", "")))
+            for k, v in sorted(batch.items())
+        )
+        step = self._aot_steps.get(key)
+        if step is None:
+            try:
+                step, self.state, self._state_format = compile_train_step_auto(
+                    self.model.cfm, self.tx, self.ema_decay,
+                    self.state, batch, rng, state_format=self._state_format,
+                )
+            except Exception as exc:
+                self.logger.warning(
+                    "AOT train-step compile failed (%s); using plain jit", exc
+                )
+                self.use_aot = False
+                return self._train_step
+            self._aot_steps[key] = step
+        return step
 
     def _shard(self, batch: dict[str, np.ndarray]) -> dict[str, Any]:
         if self.mesh is None:
@@ -511,7 +602,8 @@ class F5Trainer:
             if self.grad_accum == 1:
                 # dispatch without reading outputs — the read happens in
                 # windows via _drain_pending so the device pipeline stays full
-                self.state, metrics = self._train_step(self.state, sharded, step_rng)
+                step = self._get_train_step(sharded, step_rng)
+                self.state, metrics = step(self.state, sharded, step_rng)
                 pending.append((metrics, batch_size, mel_frames))
             else:
                 # fully on-device accumulation (no per-microbatch host sync,
@@ -764,6 +856,10 @@ class F5Trainer:
             ema_updates=jnp.asarray(self.global_step, jnp.int32),
         ))
         self.model.variables = {"params": self.state.params}
+        # resumed state carries fresh (default) layouts — stale AOT
+        # executables expect the AUTO layouts of the pre-resume state
+        self._aot_steps.clear()
+        self._state_format = None
         self.logger.info(
             "Resumed from step %d (epoch %d)", self.global_step, self.epoch
         )
