@@ -63,18 +63,41 @@ def main() -> None:
     from oron_tts_tpu.utils.cache import enable_compilation_cache
 
     enable_compilation_cache()
+    import gc
+
     import jax
     import jax.numpy as jnp
+
+    backend = jax.default_backend()
+    print(f"# backend={backend} devices={jax.devices()}", file=sys.stderr)
+
+    # phases run in their own frames so each one's device buffers (params,
+    # jit caches) are freed before the next — the B=12 no-remat train step
+    # alone needs ~14.9 of the 15.75 GB HBM
+    rtf = bench_synthesis(jax, jnp)
+    gc.collect()
+    serve = bench_serving(jax, jnp)
+    gc.collect()
+    train = bench_train_step(jax, jnp)
+
+    print(json.dumps({
+        "metric": "synthesis_rtf_base_32nfe",
+        "value": round(rtf, 5),
+        "unit": "rtf",
+        "vs_baseline": round(TARGET_RTF / rtf, 3),
+        **serve,
+        **train,
+    }))
+
+
+def bench_synthesis(jax, jnp) -> float:
+    import os
+
     import numpy as np
 
     from oron_tts_tpu.models.cfm import CFM, CFMConfig
     from oron_tts_tpu.models.dit import DiT
     from oron_tts_tpu.models.vocos import VocosDecoder
-
-    backend = jax.default_backend()
-    print(f"# backend={backend} devices={jax.devices()}", file=sys.stderr)
-
-    import os
 
     use_flash = os.environ.get("ORON_BENCH_FLASH", "1") != "0"
     scan_blocks = os.environ.get("ORON_BENCH_SCAN", "1") != "0"
@@ -160,18 +183,9 @@ def main() -> None:
         f"runs={[round(t, 3) for t in times]}", file=sys.stderr,
     )
     assert bool(np.isfinite(np.asarray(wav)).all()), "non-finite output"
-
-    serve = bench_serving(jax, jnp)
-    train = bench_train_step(jax, jnp)
-
-    print(json.dumps({
-        "metric": "synthesis_rtf_base_32nfe",
-        "value": round(rtf, 5),
-        "unit": "rtf",
-        "vs_baseline": round(TARGET_RTF / rtf, 3),
-        **serve,
-        **train,
-    }))
+    # release this phase's executables + buffers before the next phase
+    synthesize.clear_cache()
+    return rtf
 
 
 def bench_serving(jax, jnp) -> dict:
