@@ -411,18 +411,34 @@ class F5TTS:
         return concat_with_pause(waveforms, self.sample_rate, pause_s)
 
     @staticmethod
+    def _pad_rows(n: int) -> int:
+        """Row padding for stable jit keys: 1 and 2 stay exact (a
+        singleton group must not pay a 4x solve), larger groups round to
+        even — ≤1 wasted row at ≤9 distinct jit keys per bucket."""
+        return n if n <= 2 else n + (n % 2)
+
+    @classmethod
     def _length_groups(
-        target_lens: list[int], pad_to_multiple: int, max_batch: int,
+        cls, target_lens: list[int], pad_to_multiple: int, max_batch: int,
         tolerance: float = 1.3,
     ) -> list[list[int]]:
         """Group row indices by similar target length (VERDICT r2 #8).
 
         A single bucket pads every row to the longest utterance — one long
         text taxes the whole batch with O(T²) attention on padding. Sorted
-        greedy grouping bounds the waste: a row joins the current group
-        while its length is within ``tolerance``x the group's shortest (or
-        one pad quantum) and the group is under ``max_batch`` rows.
+        greedy grouping bounds that waste; a cost-based merge pass then
+        collapses adjacent groups whenever padded_rows × bucket SHRINKS
+        (e.g. a singleton rides free in a neighbor whose rows were being
+        padded up anyway — measured on the bench mix: 24 → fewer padded
+        rows for 16 utterances).
         """
+        def bucket(g: list[int]) -> int:
+            m = max(target_lens[i] for i in g)
+            return -(-m // pad_to_multiple) * pad_to_multiple
+
+        def cost(g: list[int]) -> int:
+            return cls._pad_rows(len(g)) * bucket(g)
+
         order = sorted(range(len(target_lens)), key=lambda i: target_lens[i])
         groups: list[list[int]] = []
         cur: list[int] = []
@@ -439,6 +455,18 @@ class F5TTS:
                 cur = [idx]
         if cur:
             groups.append(cur)
+
+        changed = True
+        while changed and len(groups) > 1:
+            changed = False
+            for i in range(len(groups) - 1):
+                a, b = groups[i], groups[i + 1]
+                if len(a) + len(b) > max_batch:
+                    continue
+                if cost(a + b) < cost(a) + cost(b):
+                    groups[i: i + 2] = [a + b]
+                    changed = True
+                    break
         return groups
 
     def synthesize_batch(
@@ -483,11 +511,7 @@ class F5TTS:
         for group in groups:
             bucket = -(-max(target_lens[i] for i in group)
                        // self.pad_to_multiple) * self.pad_to_multiple
-            n = len(group)
-            # pad rows to a multiple of 4 → few jit keys (4/8/12/16) with
-            # at most 3 wasted rows (power-of-2 rounding measured up to
-            # 60% row waste on 5-row groups)
-            batch = -(-n // 4) * 4
+            batch = self._pad_rows(len(group))
             text_arr = np.full((batch, bucket), -1, dtype=np.int32)
             durations = np.full(batch, 50, dtype=np.int32)  # pad-row minimum
             for row, i in enumerate(group):
