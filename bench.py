@@ -37,26 +37,54 @@ TARGET_RTF = 0.05
 
 
 def random_params_like(module, shapes, seed: int = 0, scale: float = 0.02):
-    """Host-side random params for a flax shape tree, one device upload.
+    """On-device random params for a flax shape tree (no host gen/upload).
 
-    Leaves named "scale" (LayerNorm) get ones; other vectors get zeros
-    (biases); matrices/kernels get N(0, scale²).
+    One jitted generator materializes the whole tree on the device:
+    "scale" leaves (LayerNorm) get ones, other vectors get zeros (biases),
+    matrices/kernels get N(0, scale²). The generator executable is
+    persistently cacheable, so this replaces the old host-side numpy
+    generation + ~1.7 GB device_put through the tunnel (~30 s of the
+    measured Base cold start, docs/KERNELS.md "Cold start").
     """
     import jax
-    import numpy as np
+    import jax.numpy as jnp
 
-    nprng = np.random.default_rng(seed)
+    flat, treedef = jax.tree_util.tree_flatten_with_path(shapes)
 
-    def make(path, s):
-        name = str(path[-1]) if path else ""
-        if "scale" in name:
-            return np.ones(s.shape, s.dtype)
-        if len(s.shape) >= 2:
-            return (nprng.standard_normal(s.shape) * scale).astype(s.dtype)
-        return np.zeros(s.shape, s.dtype)
+    def gen(key):
+        leaves = []
+        for i, (path, s) in enumerate(flat):
+            name = str(path[-1]) if path else ""
+            if "scale" in name:
+                leaves.append(jnp.ones(s.shape, s.dtype))
+            elif len(s.shape) >= 2:
+                sub = jax.random.fold_in(key, i)
+                leaves.append(
+                    (jax.random.normal(sub, s.shape) * scale).astype(s.dtype)
+                )
+            else:
+                leaves.append(jnp.zeros(s.shape, s.dtype))
+        return jax.tree_util.tree_unflatten(treedef, leaves)
 
-    host = jax.tree_util.tree_map_with_path(make, shapes)
-    return jax.device_put(host, jax.devices()[0])
+    return jax.jit(gen)(jax.random.PRNGKey(seed))
+
+
+def force_sync(*trees) -> None:
+    """Force queued device work to really finish (lazy-backend honest).
+
+    On the axon tunnel ``block_until_ready`` is a no-op, so param
+    generation and input creation stay queued until the first scalar
+    fetch — which would otherwise land inside the timed
+    "compile+first-run" window and misattribute tens of seconds of setup
+    (plus the tunnel's occasional 30-230 s first-interaction stall) to
+    the compile phase. Fetching one tiny scalar per tree flushes it.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    for tree in trees:
+        for leaf in jax.tree_util.tree_leaves(tree)[:1]:
+            float(jnp.sum(jnp.ravel(leaf)[:1].astype(jnp.float32)))
 
 
 def main() -> None:
@@ -118,6 +146,7 @@ def bench_synthesis(jax, jnp) -> float:
 
     # 120-char chunk → chars*13 ≈ 1560 frames, bucketed to 1664
     n_steps, cfg_strength, sway = 32, 2.0, -1.0
+    t_setup = time.perf_counter()
     t_total = 120 * 13
     bucket = -(-t_total // 64) * 64
     audio_seconds = t_total * 256 / 24000
@@ -147,6 +176,9 @@ def bench_synthesis(jax, jnp) -> float:
     duration = jnp.asarray([t_total], jnp.int32)
     lens = jnp.asarray([0], jnp.int32)
     noise = jax.random.normal(k3, (1, bucket, 100), jnp.float32)
+    force_sync(variables, voc_vars, noise, text)
+    print(f"# synthesis setup (params+inputs on device): "
+          f"{time.perf_counter() - t_setup:.1f}s", file=sys.stderr)
 
     @jax.jit
     def synthesize(variables, voc_vars, cond, text, duration, lens, noise):
@@ -222,6 +254,7 @@ def bench_serving(jax, jnp) -> dict:
                        jnp.zeros((1, 100, 64), jnp.float32)),
     )
     model.set_vocoder(vocoder, voc_vars)
+    force_sync(model.variables, voc_vars)
 
     # realistic request mix: 16 utterances, 25–120 chars (≈ 3.5–17 s audio)
     words = ("сайн байна уу та нар өнөөдөр хэрхэн байна вэ монгол улс "
@@ -334,6 +367,11 @@ def bench_train_step(jax, jnp) -> dict:
             jnp.zeros((1, 64), jnp.int32), jnp.zeros((1,)),
         ), seed=1,
     )
+    # flush generation so the tunnel's first-interaction stall (30-230 s,
+    # see force_sync) cannot land inside the timed compile+first-step;
+    # opt_state/EMA stay lazy — materializing them early doubles resident
+    # state across the AOT relayout and OOMs the 15.75 GB chip at B=12
+    force_sync(variables)
 
     tx = make_optimizer(make_lr_schedule(1e-4, 1000, 100000),
                         mu_dtype=jnp.bfloat16 if mu_bf16 else None)
@@ -348,6 +386,13 @@ def bench_train_step(jax, jnp) -> dict:
     n_params = sum(
         np.prod(a.shape) for a in jax.tree_util.tree_leaves(params)
     )
+    # drop the pre-relayout param references: the on-device generated
+    # arrays carry compiler-chosen layouts, so the AOT AUTO-layout compile
+    # below really copies state — keeping the originals alive through the
+    # first step costs +1.7 GB and OOMs the B=12 no-remat configuration
+    del variables, params
+    import gc as _gc
+    _gc.collect()
 
     lens = np.full((B,), T, np.int32)
     lens[B // 2:] = int(T * 0.83)

@@ -181,11 +181,41 @@ def compile_train_step_auto(
         lambda x: jax.ShapeDtypeStruct(jnp.shape(x), jnp.result_type(x)),
         (state, batch, rng),
     )
-    compiled = jax.jit(
-        _train_step_fn(cfm, tx, ema_decay), donate_argnums=(0,),
-        in_shardings=in_fmts, out_shardings=Format(Layout.AUTO),
-    ).lower(*abstract).compile()
+    # bypass the persistent compilation cache for THIS compile: a
+    # deserialized AUTO-layout donated executable loses the output→input
+    # aliasing contract — its first call succeeds but the aliased feedback
+    # call (step outputs fed back as donated inputs) dies with a
+    # device-side INVALID_ARGUMENT (measured on v5e through the tunnel,
+    # both fresh-process cache hits). Fresh compiles never exhibit this.
+    cache_was = bool(jax.config.jax_enable_compilation_cache)
+    jax.config.update("jax_enable_compilation_cache", False)
+    try:
+        # is_cache_used() memoizes its decision once per process, so the
+        # flag flip alone is ignored after any earlier compile —
+        # reset_cache() drops the memo so the flag is actually re-read
+        from jax._src import compilation_cache as _cc
+        _cc.reset_cache()
+    except Exception:
+        pass
+    try:
+        compiled = jax.jit(
+            _train_step_fn(cfm, tx, ema_decay), donate_argnums=(0,),
+            in_shardings=in_fmts, out_shardings=Format(Layout.AUTO),
+        ).lower(*abstract).compile()
+    finally:
+        jax.config.update("jax_enable_compilation_cache", cache_was)
+        try:
+            from jax._src import compilation_cache as _cc
+            _cc.reset_cache()  # re-enable for subsequent compiles
+        except Exception:
+            pass
     state_fmt, batch_fmt, rng_fmt = compiled.input_formats[0]
+    # NOTE: must stay jax.device_put (per-leaf relayout) — compiling one
+    # jitted identity with out_shardings=state_fmt looks cheaper (41 tiny
+    # _identity_fn compiles become 1) but XLA normalizes the requested
+    # output layouts for some small conv-kernel shapes and the executable
+    # then rejects the state with a layout mismatch. The per-leaf compiles
+    # are persistent-cached instead (utils/cache.py write threshold 0.1 s)
     state = jax.device_put(state, state_fmt)
 
     def step(state: TrainState, batch: dict[str, Any], rng: jax.Array):

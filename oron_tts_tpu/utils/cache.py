@@ -24,6 +24,14 @@ def enable_compilation_cache(cache_dir: str | Path | None = None) -> None:
     path.mkdir(parents=True, exist_ok=True)
     try:
         jax.config.update("jax_compilation_cache_dir", str(path))
+        # keep the 5 s write threshold: lowering it to cache the dozens of
+        # tiny per-leaf relayout identities looks attractive (~15 s of a
+        # Base train cold start) but is UNSAFE — the cache key for
+        # _identity_fn does not distinguish the requested output layout,
+        # so a cached identity compiled for one layout gets replayed for
+        # another and the AOT train step then rejects its own state
+        # (measured: "Computation was compiled for input layouts that
+        # disagree..." on mu dwconv kernels and batch mel)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
     except Exception:
         pass  # older jax without these flags
