@@ -104,6 +104,10 @@ def main() -> None:
     parser.add_argument("--scan-blocks", action="store_true", default=None,
                         help="Iterate DiT blocks with lax.scan: identical "
                              "output, ~depth× faster cold compile")
+    parser.add_argument("--mesh", type=str, default=None,
+                        help="Multi-chip serving mesh as DPxTP (e.g. 2x4): "
+                             "batch rows shard over DP, attention/FFN "
+                             "projections over TP")
     args = parser.parse_args()
 
     if args.device:
@@ -129,6 +133,13 @@ def main() -> None:
                        scan_blocks=args.scan_blocks)
     if args.vocoder:
         model.load_vocoder(args.vocoder)
+    if args.mesh:
+        from oron_tts_tpu.parallel.mesh import make_mesh
+
+        dp, _, tp = args.mesh.partition("x")
+        mesh = make_mesh(int(dp), int(tp or 1))
+        model.set_mesh(mesh)
+        print(f"Serving mesh: {dict(mesh.shape)}")
     print(f"Model loaded. Parameters: {model.num_params():,}")
 
     if args.text_file:

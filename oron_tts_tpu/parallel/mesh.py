@@ -51,6 +51,11 @@ def make_mesh(
 def _spec_for_path(path: str) -> P:
     for pattern, spec in _PARAM_RULES:
         if re.search(pattern, path):
+            if path.startswith("blocks/") or "/blocks/" in path:
+                # stacked scan_blocks layout: leaves carry a leading
+                # [depth] axis (models/dit.py stack_block_params), so the
+                # rule's axes shift right by one — depth stays unsharded
+                return P(None, *spec)
             return spec
     return P()
 

@@ -124,6 +124,10 @@ def main() -> None:
                              "lax.scan (identical numerics; scan compiles "
                              "~depth× faster, so it is the serving default)")
     parser.add_argument("--device", type=str, default=None)
+    parser.add_argument("--mesh", type=str, default=None,
+                        help="Multi-chip serving mesh as DPxTP (e.g. 2x4): "
+                             "batch rows shard over DP, attention/FFN "
+                             "projections over TP")
     args = parser.parse_args()
 
     if args.device:
@@ -139,6 +143,14 @@ def main() -> None:
                         scan_blocks=not args.no_scan_blocks)
     if args.vocoder:
         _model.load_vocoder(args.vocoder)
+    if args.mesh:
+        from oron_tts_tpu.parallel.mesh import make_mesh
+
+        dp, _, tp = args.mesh.partition("x")
+        mesh = make_mesh(int(dp), int(tp or 1))
+        _model.set_mesh(mesh)
+        _meta["mesh"] = dict(mesh.shape)
+        print(f"[serve] mesh: {dict(mesh.shape)}")
     _meta["params"] = _model.num_params()
     if args.warmup:
         # warm the cache entry real requests will hit: default steps=32 on

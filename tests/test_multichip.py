@@ -138,3 +138,82 @@ def test_tp_matches_dp_loss():
     loss_tp, leaf_tp = run(make_mesh(4, 2))
     assert np.isclose(loss_ref, loss_tp, rtol=1e-5), (loss_ref, loss_tp)
     np.testing.assert_allclose(leaf_tp, leaf_ref, atol=1e-5)
+
+
+def test_param_specs_scan_layout_shift():
+    """Stacked scan_blocks params get the depth axis left unsharded."""
+    import jax.numpy as jnp
+    from jax.sharding import PartitionSpec as P
+
+    from oron_tts_tpu.models.dit import DiT
+    from oron_tts_tpu.parallel.mesh import param_specs
+
+    model = DiT(dim=64, depth=2, heads=4, dim_head=16, mel_dim=8,
+                text_dim=16, conv_layers=1, dropout=0.0, scan_blocks=True)
+    x = jnp.zeros((1, 16, 8))
+    variables = model.init(jax.random.PRNGKey(0), x, x,
+                           jnp.zeros((1, 16), jnp.int32), jnp.zeros((1,)))
+    specs = param_specs(variables["params"])
+    # stacked leaves are [depth, in, out]: rule axes shift right by one
+    assert specs["blocks"]["attn"]["to_q"]["kernel"] == P(None, None, "model")
+    assert specs["blocks"]["attn"]["to_out"]["kernel"] == P(None, "model", None)
+    assert specs["blocks"]["ff"]["in_proj"]["kernel"] == P(None, None, "model")
+    assert specs["proj_out"]["kernel"] == P()
+
+
+def _tiny_serving_model(mesh=None):
+    import jax.numpy as jnp
+
+    from oron_tts_tpu.config import F5Config
+    from oron_tts_tpu.models.f5tts import F5TTS
+    from oron_tts_tpu.models.vocos import VocosDecoder
+
+    cfg = {
+        "sample_rate": 24000, "n_mels": 100,
+        "model": {"vocab_size": 65, "dim": 64, "depth": 2, "heads": 4,
+                  "ff_mult": 2, "text_dim": 32, "conv_layers": 1,
+                  "p_dropout": 0.0},
+    }
+    model = F5TTS.from_config(F5Config.from_dict(cfg))
+    model.init_params(0)
+    vocoder = VocosDecoder(dim=32, n_layers=1, intermediate_dim=64)
+    voc_vars = vocoder.init(
+        jax.random.PRNGKey(1), jnp.zeros((1, 100, 16), jnp.float32)
+    )
+    if mesh is not None:
+        model.set_mesh(mesh)
+    model.set_vocoder(vocoder, voc_vars)
+    return model
+
+
+def test_mesh_serving_matches_single_device():
+    """synthesize_batch under a dp x tp mesh == single-device output.
+
+    Eight similar-length texts form ONE group both ways (row padding is a
+    no-op at 8 rows for both the even rule and the data-axis multiple), so
+    per-(row, frame) noise folds identically and outputs must agree up to
+    f32 reduction reordering from the TP psum.
+    """
+    from oron_tts_tpu.parallel.mesh import make_mesh
+
+    texts = [f"сайн байна уу та нар {i}" for i in range(8)]
+
+    ref = _tiny_serving_model(None).synthesize_batch(texts, n_steps=2, seed=0)
+    tp = _tiny_serving_model(make_mesh(4, 2)).synthesize_batch(
+        texts, n_steps=2, seed=0
+    )
+    assert len(ref) == len(tp) == 8
+    for a, b in zip(ref, tp):
+        assert a.shape == b.shape
+        np.testing.assert_allclose(a, b, atol=2e-3)
+
+
+def test_mesh_serving_single_utterance_smoke():
+    """The B=1 chunked synthesize() path works under a mesh (replicated
+    batch, TP-sharded math)."""
+    from oron_tts_tpu.parallel.mesh import make_mesh
+
+    model = _tiny_serving_model(make_mesh(4, 2))
+    wav = model.synthesize("сайн байна уу", n_steps=2, seed=0)
+    assert wav.ndim == 1 and wav.size > 0
+    assert np.isfinite(wav).all()
