@@ -352,11 +352,18 @@ class F5TTS:
         return np.asarray(module.apply(variables, mel)[0])
 
     def _decode_mel_group(self, mel: jnp.ndarray) -> np.ndarray:
-        """[B, n_mels, T] log-mel → waveforms [B, T·hop], ONE vocoder call.
+        """[B, n_mels, T] log-mel → waveforms [B, T·hop], ONE vocoder call."""
+        return np.asarray(self._decode_mel_group_lazy(mel))
+
+    def _decode_mel_group_lazy(self, mel: jnp.ndarray):
+        """Like :meth:`_decode_mel_group` but returns the DEVICE array.
 
         The serving path decodes a whole length group at once (jitted,
         cached per shape) instead of B eager per-row applies — on the TPU
-        tunnel each eager apply costs per-op dispatch round-trips.
+        tunnel each eager apply costs per-op dispatch round-trips. The
+        lazy return lets synthesize_batch enqueue every group before the
+        first host fetch (Griffin-Lim fallback decodes host-side, so it
+        returns numpy either way).
         """
         if self._vocoder is None:
             self.load_vocoder()
@@ -388,7 +395,7 @@ class F5TTS:
             else:
                 fn = jax.jit(lambda v, m: module.apply(v, m))
             self._sample_cache[key] = fn
-        return np.asarray(fn(variables, mel))
+        return fn(variables, mel)
 
     # ── inference ─────────────────────────────────────────────────────────
 
@@ -576,7 +583,12 @@ class F5TTS:
             row_multiple=self._row_multiple,
         )
 
+        # two passes: dispatch every group's solve+decode first (device
+        # arrays only — no host sync), THEN fetch. Fetch-per-group left the
+        # device idle during each host transfer + numpy conversion; with
+        # all groups enqueued, group k+1 computes while group k drains.
         wavs: list[np.ndarray | None] = [None] * len(texts)
+        pending: list[tuple[list[int], Any]] = []
         for group in groups:
             bucket = -(-max(target_lens[i] for i in group)
                        // self.pad_to_multiple) * self.pad_to_multiple
@@ -594,9 +606,11 @@ class F5TTS:
             fn = self._sample_fn(bucket, n_steps, cfg_strength,
                                  sway_sampling_coef, batch=batch)
             mel_out = fn(self.variables, cond, text_arr, durations, lens, key)
-            decoded = self._decode_mel_group(
+            pending.append((group, self._decode_mel_group_lazy(
                 jnp.swapaxes(mel_out, 1, 2)  # [batch, n_mels, bucket]
-            )
+            )))
+        for group, decoded in pending:
+            decoded = np.asarray(decoded)
             for row, i in enumerate(group):
                 n = target_lens[i] * self.hop_length
                 wavs[i] = decoded[row, :n].astype(np.float32)
