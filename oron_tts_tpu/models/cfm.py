@@ -72,6 +72,31 @@ def per_sample_noise(
     return jax.vmap(row)(jnp.arange(batch))
 
 
+def per_row_noise(
+    keys: jnp.ndarray, length: int, n_mels: int, dtype=jnp.float32
+) -> jnp.ndarray:
+    """Initial ODE noise from one PRNG key PER ROW ([B, 2] uint32).
+
+    Row i equals ``per_sample_noise(keys[i], batch=1, ...)[0]`` — the
+    single-sample draw for that key — so a batched solve reproduces each
+    request's solo output bit-for-bit regardless of batch composition
+    (the serving batcher's determinism contract; see
+    F5TTS.synthesize_batch ``seeds``).
+    """
+
+    def row(k: jnp.ndarray) -> jnp.ndarray:
+        row_key = jax.random.fold_in(k, 0)
+
+        def frame(t: jnp.ndarray) -> jnp.ndarray:
+            return jax.random.normal(
+                jax.random.fold_in(row_key, t), (n_mels,), dtype
+            )
+
+        return jax.vmap(frame)(jnp.arange(length))
+
+    return jax.vmap(row)(keys)
+
+
 def sway_timesteps(steps: int, coef: float | None, dtype=jnp.float32) -> jnp.ndarray:
     """Uniform [0,1] grid of steps+1 points, optionally sway-warped."""
     t = jnp.linspace(0.0, 1.0, steps + 1, dtype=dtype)
@@ -242,8 +267,13 @@ class CFM:
             elif isinstance(seed, int):
                 key = jax.random.PRNGKey(seed)
             else:
-                key = seed
-            noise = per_sample_noise(key, batch, max_dur, n_mels, cond.dtype)
+                key = jnp.asarray(seed)
+            if key.ndim == 2:  # [B, 2]: one key per row (batch-invariant)
+                noise = per_row_noise(key, max_dur, n_mels, cond.dtype)
+            else:
+                noise = per_sample_noise(
+                    key, batch, max_dur, n_mels, cond.dtype
+                )
         # padding region starts at zero like the reference's pad_sequence
         y0 = jnp.where(attn_mask[..., None], noise, 0.0)
 

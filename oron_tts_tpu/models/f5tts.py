@@ -340,22 +340,26 @@ class F5TTS:
         self.set_vocoder(module, {"params": params})
 
     def _decode_mel(self, mel: jnp.ndarray) -> np.ndarray:
-        """[1, n_mels, T] log-mel → waveform [T·hop]."""
-        if self._vocoder is None:
-            self.load_vocoder()
-        if self._vocoder == "griffin_lim":
-            from oron_tts_tpu.ops.griffin_lim import griffin_lim
+        """[1, n_mels, T] log-mel → waveform [T·hop].
 
-            wav = griffin_lim(mel, self.audio_processor.mel_config, n_iter=32)
-            return np.asarray(wav[0])
-        module, variables = self._vocoder
-        return np.asarray(module.apply(variables, mel)[0])
+        Routes through the jitted bucket decode (pad T to the bucket
+        multiple, mask with lens): one fused device call instead of an
+        eager per-op apply, jit keys bounded by bucket, and bit-consistent
+        with the batched serving path.
+        """
+        T = mel.shape[-1]
+        bucket = -(-T // self.pad_to_multiple) * self.pad_to_multiple
+        mel = jnp.pad(mel, ((0, 0), (0, 0), (0, bucket - T)))
+        wav = self._decode_mel_group_lazy(mel, np.asarray([T], np.int32))
+        return np.asarray(wav)[0, : T * self.hop_length]
 
-    def _decode_mel_group(self, mel: jnp.ndarray) -> np.ndarray:
+    def _decode_mel_group(
+        self, mel: jnp.ndarray, lens: np.ndarray | None = None
+    ) -> np.ndarray:
         """[B, n_mels, T] log-mel → waveforms [B, T·hop], ONE vocoder call."""
-        return np.asarray(self._decode_mel_group_lazy(mel))
+        return np.asarray(self._decode_mel_group_lazy(mel, lens))
 
-    def _decode_mel_group_lazy(self, mel: jnp.ndarray):
+    def _decode_mel_group_lazy(self, mel: jnp.ndarray, lens=None):
         """Like :meth:`_decode_mel_group` but returns the DEVICE array.
 
         The serving path decodes a whole length group at once (jitted,
@@ -364,22 +368,39 @@ class F5TTS:
         lazy return lets synthesize_batch enqueue every group before the
         first host fetch (Griffin-Lim fallback decodes host-side, so it
         returns numpy either way).
+
+        ``lens`` [B] makes row outputs bucket/batch invariant: mel beyond
+        each row's length is zeroed (the embed conv's SAME padding value)
+        and the vocoder drops pad-frame STFT contributions, so row i's
+        first lens[i]·hop samples match its solo decode exactly.
         """
         if self._vocoder is None:
             self.load_vocoder()
+        if lens is None:
+            lens = np.full(mel.shape[0], mel.shape[-1], np.int32)
         if self._vocoder == "griffin_lim":
             from oron_tts_tpu.ops.griffin_lim import griffin_lim
 
-            return np.stack([
-                np.asarray(griffin_lim(
-                    mel[i: i + 1], self.audio_processor.mel_config, n_iter=32
+            out = np.zeros(
+                (mel.shape[0], mel.shape[-1] * self.hop_length), np.float32
+            )
+            for i in range(mel.shape[0]):
+                w = np.asarray(griffin_lim(
+                    mel[i: i + 1, :, : int(lens[i])],
+                    self.audio_processor.mel_config, n_iter=32,
                 )[0])
-                for i in range(mel.shape[0])
-            ])
+                out[i, : len(w)] = w
+            return out
         module, variables = self._vocoder
         key = ("voc", mel.shape)
         fn = self._sample_cache.get(key)
         if fn is None:
+            def decode(v, m, ln):
+                valid = (
+                    jnp.arange(m.shape[-1])[None, :] < ln[:, None]
+                )[:, None, :]
+                return module.apply(v, jnp.where(valid, m, 0.0), ln)
+
             if self._mesh is not None:
                 from oron_tts_tpu.parallel.mesh import (
                     batch_sharding,
@@ -390,12 +411,12 @@ class F5TTS:
                 n_data = int(self._mesh.shape.get("data", 1))
                 data = (batch_sharding(self._mesh)
                         if mel.shape[0] % n_data == 0 else rep)
-                fn = jax.jit(lambda v, m: module.apply(v, m),
-                             in_shardings=(rep, data), out_shardings=data)
+                fn = jax.jit(decode, in_shardings=(rep, data, data),
+                             out_shardings=data)
             else:
-                fn = jax.jit(lambda v, m: module.apply(v, m))
+                fn = jax.jit(decode)
             self._sample_cache[key] = fn
-        return fn(variables, mel)
+        return fn(variables, mel, jnp.asarray(lens, jnp.int32))
 
     # ── inference ─────────────────────────────────────────────────────────
 
@@ -554,6 +575,7 @@ class F5TTS:
         speed: float = 1.0,
         seed: int | None = None,
         max_batch: int = 16,
+        seeds: list[int] | None = None,
     ) -> list[np.ndarray]:
         """Batched ref-free synthesis: few sampler calls for many utterances.
 
@@ -563,6 +585,14 @@ class F5TTS:
         one CFG Euler solve, and per-row durations mask the tails. Group
         batch sizes round up to multiples of 4 to bound jit-cache entries.
         Texts longer than one chunk should go through synthesize() instead.
+
+        Determinism contract: row i draws its noise from its OWN key
+        (``seeds[i]`` if given, else ``(seed or 0) + i``), independent of
+        batch composition, grouping, row position, and bucket padding —
+        ``synthesize_batch(texts, seeds=[s, ...])[i]`` matches
+        ``synthesize(texts[i], seed=s)`` (cfm.per_row_noise). This is what
+        lets a serving batcher merge concurrent requests without changing
+        any of their outputs.
         """
         assert self.variables is not None, "call init_params or load a checkpoint"
         lang = validate_language(lang)
@@ -570,6 +600,13 @@ class F5TTS:
             return []
         if speed <= 0:
             raise ValueError(f"speed must be > 0, got {speed}")
+        if seeds is not None and len(seeds) != len(texts):
+            raise ValueError(
+                f"seeds must have one entry per text: {len(seeds)} != {len(texts)}"
+            )
+        if seeds is None:
+            base = 0 if seed is None else seed
+            seeds = [base + i for i in range(len(texts))]
 
         id_lists = [
             self.text_cleaner.text_to_sequence(t, lang=lang) for t in texts
@@ -601,13 +638,18 @@ class F5TTS:
                 durations[row] = tl
             cond = np.zeros((batch, bucket, self.n_mels), dtype=np.float32)
             lens = np.zeros(batch, dtype=np.int32)
+            row_seeds = [seeds[i] for i in group]
+            row_seeds += [0] * (batch - len(group))  # pad rows: any key
+            keys = jnp.stack(
+                [jax.random.PRNGKey(s) for s in row_seeds]
+            )
 
-            key = jax.random.PRNGKey(0 if seed is None else seed)
             fn = self._sample_fn(bucket, n_steps, cfg_strength,
                                  sway_sampling_coef, batch=batch)
-            mel_out = fn(self.variables, cond, text_arr, durations, lens, key)
+            mel_out = fn(self.variables, cond, text_arr, durations, lens, keys)
             pending.append((group, self._decode_mel_group_lazy(
-                jnp.swapaxes(mel_out, 1, 2)  # [batch, n_mels, bucket]
+                jnp.swapaxes(mel_out, 1, 2),  # [batch, n_mels, bucket]
+                durations,
             )))
         for group, decoded in pending:
             decoded = np.asarray(decoded)

@@ -62,7 +62,21 @@ class VocosDecoder(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, mel: jnp.ndarray) -> jnp.ndarray:
+    def __call__(
+        self, mel: jnp.ndarray, lens: jnp.ndarray | None = None
+    ) -> jnp.ndarray:
+        """Decode; with ``lens`` [B], produce bucket-invariant output.
+
+        Serving decodes whole padded length-groups in one call. Without
+        masking, each row's last ~27 frames (conv receptive field) see the
+        bucket's pad region, and the final OLA window mixes in pad-frame
+        energy — the tail of a batched row then differs from its solo
+        decode. With ``lens``: the caller zeroes mel beyond each row's
+        length (matching the embed conv's SAME zero padding) and we zero
+        the STFT coefficients of frames >= lens[i], so samples in
+        [0, lens[i]*hop) depend only on that row's own mel. Verified
+        batched == solo in tests/test_f5tts_facade.py.
+        """
         x = mel.swapaxes(-1, -2)  # [B, T, n_mels]
         x = nn.Conv(
             self.dim, kernel_size=(7,), padding="SAME", dtype=self.dtype,
@@ -79,12 +93,21 @@ class VocosDecoder(nn.Module):
         n_bins = self.n_fft // 2 + 1
         out = nn.Dense(n_bins * 2, dtype=self.dtype, name="head")(x)  # [B, T, 2F]
         out = out.astype(jnp.float32)
+        if lens is not None:
+            frame_valid = (
+                jnp.arange(out.shape[1])[None, :] < lens[:, None]
+            )[..., None]
+            out = jnp.where(frame_valid, out, 0.0)
 
         if self.head_mode == "mag_phase":
             mag, phase = out[..., :n_bins], out[..., n_bins:]
             mag = jnp.exp(jnp.clip(mag, max=4.605170185988091))  # official Vocos clips magnitude at 1e2
             re = (mag * jnp.cos(phase)).swapaxes(-1, -2)  # [B, F, T]
             im = (mag * jnp.sin(phase)).swapaxes(-1, -2)
+            if lens is not None:
+                fv = frame_valid[..., 0][:, None, :]  # [B, 1, T]
+                re = jnp.where(fv, re, 0.0)  # exp(0)·cos(0) = 1 on pad frames
+                im = jnp.where(fv, im, 0.0)
             return istft_real(re, im, self.n_fft, self.hop_length,
                               normalized=False, padding="same")
         # reference stub: interleaved real/imag per bin, normalized ISTFT

@@ -228,6 +228,28 @@ def test_synthesize_batch_composition_invariant():
     np.testing.assert_array_equal(solo, paired)
 
 
+def test_synthesize_batch_matches_solo_with_seeds():
+    """The batcher determinism contract: with explicit per-row seeds, a
+    batched row reproduces the solo synthesize() output for the same seed
+    (per_row_noise keys make the draw independent of row position,
+    grouping, and bucket)."""
+    model = F5TTS.from_config(TINY_CFG)
+    model.init_params(0)
+    texts = ["нэг хоёр гурав", "сайн байна уу тавтай морилно уу", "за"]
+    batched = model.synthesize_batch(texts, n_steps=2, seeds=[5, 9, 5])
+    for text, s, got in zip(texts, [5, 9, 5], batched):
+        solo = model.synthesize(text, n_steps=2, seed=s)
+        np.testing.assert_allclose(got, solo, rtol=2e-4, atol=2e-5)
+    # default seeds are seed+i (mirrors the reference's per-chunk seed+idx)
+    d = model.synthesize_batch(texts[:2], n_steps=2, seed=3)
+    np.testing.assert_allclose(
+        d[1], model.synthesize(texts[1], n_steps=2, seed=4),
+        rtol=2e-4, atol=2e-5,
+    )
+    with pytest.raises(ValueError):
+        model.synthesize_batch(texts, seeds=[1])
+
+
 def test_cfm_sample_per_row_noise_invariance():
     """cfm.sample row outputs are invariant to batch composition and to
     bucket padding when seeded via per-row key folding."""
