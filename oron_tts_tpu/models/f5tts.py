@@ -480,27 +480,25 @@ class F5TTS:
         if not chunks:
             raise ValueError("text must not be empty")
 
-        if len(chunks) > 1:
-            _logger.info("Splitting long synthesis request into %d chunks", len(chunks))
+        if len(chunks) == 1:
+            return self._synthesize_segment(
+                chunks[0], lang, ref_audio_path, ref_text, n_steps,
+                cfg_strength, sway_sampling_coef, speed, target_duration_s,
+                seed,
+            )
+
+        _logger.info("Splitting long synthesis request into %d chunks", len(chunks))
         weights = [max(1, len(c.replace(" ", ""))) for c in chunks]
         total_weight = sum(weights)
-        waveforms: list[np.ndarray] = []
-        for idx, chunk in enumerate(chunks):
-            chunk_dur = (
-                None if target_duration_s is None
-                else target_duration_s * weights[idx] / total_weight
-                if len(chunks) > 1 else target_duration_s
-            )
-            chunk_seed = None if seed is None else seed + idx
-            waveforms.append(
-                self._synthesize_segment(
-                    chunk, lang, ref_audio_path, ref_text, n_steps,
-                    cfg_strength, sway_sampling_coef, speed, chunk_dur,
-                    chunk_seed,
-                )
-            )
-        if len(waveforms) == 1:
-            return waveforms[0]
+        chunk_durs = [
+            None if target_duration_s is None
+            else target_duration_s * w / total_weight
+            for w in weights
+        ]
+        waveforms = self._synthesize_chunks(
+            chunks, lang, ref_audio_path, ref_text, n_steps, cfg_strength,
+            sway_sampling_coef, speed, chunk_durs, seed,
+        )
         return concat_with_pause(waveforms, self.sample_rate, pause_s)
 
     @staticmethod
@@ -703,6 +701,52 @@ class F5TTS:
             self._sample_cache[key] = fn
         return fn
 
+    def _load_ref(
+        self,
+        ref_audio_path: str | Path | None,
+        ref_text: str | None,
+        lang: str,
+    ) -> tuple[np.ndarray | None, int, list[int]]:
+        """Reference audio → (mel [n_mels, T_ref], T_ref, ref token ids)."""
+        if ref_audio_path is None:
+            return None, 0, []
+        if not ref_text:
+            _logger.warning(
+                "ref_audio_path was provided without ref_text; duration "
+                "will fall back to the ref-free estimate and the reference "
+                "region will use filler text."
+            )
+        wav, _ = self.audio_processor.load_audio(ref_audio_path)
+        wav = self.audio_processor.normalize_audio(wav)
+        ref_mel = np.asarray(self.audio_processor.mel_spectrogram(wav))
+        ref_ids = (
+            self.text_cleaner.text_to_sequence(ref_text, lang=lang)
+            if ref_text is not None else []
+        )
+        return ref_mel, ref_mel.shape[-1], ref_ids
+
+    def _target_len(
+        self,
+        text: str,
+        target_ids: list[int],
+        target_duration_s: float | None,
+        ref_len: int,
+        ref_ids: list[int],
+        speed: float,
+    ) -> int:
+        """Duration cascade: explicit → ref-ratio → chars·13/speed, min 50
+        (reference f5tts.py:365-375)."""
+        if target_duration_s is not None:
+            return max(
+                1, int(target_duration_s * self.sample_rate / self.hop_length)
+            )
+        if ref_len > 0 and ref_ids:
+            return max(
+                50, int(ref_len * len(target_ids) / len(ref_ids) / speed)
+            )
+        chars = max(1, len(text.replace(" ", "")))
+        return max(50, int(chars * 13 / speed))
+
     def _synthesize_segment(
         self,
         text: str,
@@ -717,35 +761,10 @@ class F5TTS:
         seed: int | None,
     ) -> np.ndarray:
         target_ids = self.text_cleaner.text_to_sequence(text, lang=lang)
-
-        ref_mel: np.ndarray | None = None
-        ref_len = 0
-        ref_ids: list[int] = []
-        if ref_audio_path is not None:
-            if not ref_text:
-                _logger.warning(
-                    "ref_audio_path was provided without ref_text; duration "
-                    "will fall back to the ref-free estimate and the reference "
-                    "region will use filler text."
-                )
-            wav, _ = self.audio_processor.load_audio(ref_audio_path)
-            wav = self.audio_processor.normalize_audio(wav)
-            ref_mel = np.asarray(self.audio_processor.mel_spectrogram(wav))
-            ref_len = ref_mel.shape[-1]
-            if ref_text is not None:
-                ref_ids = self.text_cleaner.text_to_sequence(ref_text, lang=lang)
-
-        if target_duration_s is not None:
-            target_len = max(
-                1, int(target_duration_s * self.sample_rate / self.hop_length)
-            )
-        elif ref_len > 0 and ref_ids:
-            target_len = max(
-                50, int(ref_len * len(target_ids) / len(ref_ids) / speed)
-            )
-        else:
-            chars = max(1, len(text.replace(" ", "")))
-            target_len = max(50, int(chars * 13 / speed))
+        ref_mel, ref_len, ref_ids = self._load_ref(ref_audio_path, ref_text, lang)
+        target_len = self._target_len(
+            text, target_ids, target_duration_s, ref_len, ref_ids, speed
+        )
 
         t_total = ref_len + target_len
         # static-shape bucket: pad to multiple, mask out the tail
@@ -774,6 +793,96 @@ class F5TTS:
         )
         gen = jnp.swapaxes(mel_out[:, ref_len:t_total, :], 1, 2)  # [1, M, T]
         return self._decode_mel(gen).astype(np.float32)
+
+    def _synthesize_chunks(
+        self,
+        chunks: list[str],
+        lang: str,
+        ref_audio_path: str | Path | None,
+        ref_text: str | None,
+        n_steps: int,
+        cfg_strength: float,
+        sway: float | None,
+        speed: float,
+        chunk_durs: list[float | None],
+        seed: int | None,
+        max_batch: int = 16,
+    ) -> list[np.ndarray]:
+        """Solve a long text's chunks in BATCHED CFG Euler calls.
+
+        The reference solves one chunk at a time (f5tts.py:297-320); on TPU
+        that leaves the MXU underfed — a 5-chunk paragraph paid 5 sequential
+        solves. Chunks are length-grouped like synthesize_batch and share
+        solves; per-row PRNG keys (PRNGKey(seed+idx), the serial path's
+        chunk seeds) keep each chunk's output equal to its solo solve
+        (cfm.per_row_noise), so batching is purely a latency optimization.
+        All chunks share the reference mel, so the generated region starts
+        at the same ref_len on every row and the post-solve crop stays
+        rectangular.
+        """
+        ref_mel, ref_len, ref_ids = self._load_ref(ref_audio_path, ref_text, lang)
+        id_lists = [
+            self.text_cleaner.text_to_sequence(c, lang=lang) for c in chunks
+        ]
+        target_lens = [
+            self._target_len(c, ids, dur, ref_len, ref_ids, speed)
+            for c, ids, dur in zip(chunks, id_lists, chunk_durs)
+        ]
+        t_totals = [ref_len + tl for tl in target_lens]
+        groups = self._length_groups(
+            t_totals, self.pad_to_multiple, max_batch,
+            row_multiple=self._row_multiple,
+        )
+
+        wavs: list[np.ndarray | None] = [None] * len(chunks)
+        pending: list[tuple[list[int], Any]] = []
+        for group in groups:
+            bucket = -(-max(t_totals[i] for i in group)
+                       // self.pad_to_multiple) * self.pad_to_multiple
+            batch = self._pad_rows(len(group), self._row_multiple)
+            text_arr = np.full((batch, bucket), -1, dtype=np.int32)
+            durations = np.full(batch, max(ref_len + 1, 50), dtype=np.int32)
+            lens = np.full(batch, ref_len, dtype=np.int32)
+            cond = np.zeros((batch, bucket, self.n_mels), dtype=np.float32)
+            if ref_mel is not None:
+                cond[:, :ref_len] = ref_mel.T
+            row_keys = [
+                jax.random.PRNGKey(0 if seed is None else seed + i)
+                for i in group
+            ]
+            row_keys += [jax.random.PRNGKey(0)] * (batch - len(group))
+            for row, i in enumerate(group):
+                if ref_len > 0:
+                    full_ids = (
+                        stretch_text_to_len(ref_ids, ref_len)
+                        + stretch_text_to_len(id_lists[i], target_lens[i])
+                    )
+                else:
+                    full_ids = stretch_text_to_len(id_lists[i], t_totals[i])
+                text_arr[row, : t_totals[i]] = full_ids
+                durations[row] = t_totals[i]
+
+            fn = self._sample_fn(bucket, n_steps, cfg_strength, sway,
+                                 batch=batch)
+            mel_out = fn(self.variables, cond, text_arr, durations, lens,
+                         jnp.stack(row_keys))
+            gen = mel_out[:, ref_len:, :]  # [batch, bucket-ref_len, n_mels]
+            # re-bucket the generated region so vocoder jit keys stay
+            # bounded when ref_len is not a multiple of pad_to_multiple
+            t_gen = -(-gen.shape[1] // self.pad_to_multiple) * self.pad_to_multiple
+            gen = jnp.pad(gen, ((0, 0), (0, t_gen - gen.shape[1]), (0, 0)))
+            gen_lens = np.zeros(batch, dtype=np.int32)
+            for row, i in enumerate(group):
+                gen_lens[row] = target_lens[i]
+            pending.append((group, self._decode_mel_group_lazy(
+                jnp.swapaxes(gen, 1, 2), gen_lens,
+            )))
+        for group, decoded in pending:
+            decoded = np.asarray(decoded)
+            for row, i in enumerate(group):
+                n = target_lens[i] * self.hop_length
+                wavs[i] = decoded[row, :n].astype(np.float32)
+        return [w for w in wavs if w is not None]
 
     # ── construction ──────────────────────────────────────────────────────
 

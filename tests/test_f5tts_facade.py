@@ -127,6 +127,55 @@ def test_synthesize_with_ref_audio(tmp_path):
     assert np.isfinite(wav).all() and len(wav) > 0
 
 
+def test_chunked_synthesis_matches_serial(tmp_path):
+    """Long-text synthesis batches chunk solves; each chunk's audio must
+    match the serial path — synthesizing that chunk alone with the serial
+    chunk seed (seed+idx) — so batching is purely a latency optimization."""
+    model = F5TTS.from_config(TINY_CFG)
+    model.init_params(0)
+    text = "Нэг өгүүлбэр энд байна. Хоёр дахь өгүүлбэр арай урт байгаа. За."
+    chunks = split_text_for_synthesis(text, 30)
+    assert len(chunks) >= 3
+    batched = model.synthesize(
+        text, n_steps=2, seed=11, max_chars_per_chunk=30, pause_s=0.01,
+    )
+    serial = [
+        model.synthesize(c, n_steps=2, seed=11 + i, max_chars_per_chunk=0)
+        for i, c in enumerate(chunks)
+    ]
+    expected = concat_with_pause(serial, model.sample_rate, 0.01)
+    assert batched.shape == expected.shape
+    np.testing.assert_allclose(batched, expected, rtol=2e-4, atol=2e-5)
+
+
+def test_chunked_synthesis_with_ref_matches_serial(tmp_path):
+    """Voice-cloned long text: batched chunk solves share the ref mel and
+    still match per-chunk serial synthesis."""
+    from oron_tts_tpu.data.wav import write_wav
+
+    sr = 24000
+    t = np.arange(sr // 2) / sr
+    ref = (0.3 * np.sin(2 * np.pi * 220 * t)).astype(np.float32)
+    ref_path = tmp_path / "ref.wav"
+    write_wav(ref_path, ref, sr)
+
+    model = F5TTS.from_config(TINY_CFG)
+    model.init_params(0)
+    text = "Нэг өгүүлбэр энд байна. Хоёр дахь өгүүлбэр арай урт байгаа."
+    chunks = split_text_for_synthesis(text, 30)
+    assert len(chunks) >= 2
+    kw = dict(ref_audio_path=ref_path, ref_text="тийм", n_steps=2)
+    batched = model.synthesize(
+        text, seed=3, max_chars_per_chunk=30, pause_s=0.0, **kw
+    )
+    serial = np.concatenate([
+        model.synthesize(c, seed=3 + i, max_chars_per_chunk=0, **kw)
+        for i, c in enumerate(chunks)
+    ])
+    assert batched.shape == serial.shape
+    np.testing.assert_allclose(batched, serial, rtol=2e-4, atol=2e-5)
+
+
 def test_checkpoint_roundtrip(tmp_path):
     import jax
 
