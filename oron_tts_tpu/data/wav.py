@@ -142,6 +142,34 @@ def write_wav(
     Path(path).write_bytes(wav_bytes(samples, sample_rate, subtype))
 
 
+def wav_stream_header(sample_rate: int, channels: int = 1) -> bytes:
+    """RIFF/WAVE PCM16 header for a stream of unknown length.
+
+    RIFF and data sizes are set to 0xFFFFFFFF (the de-facto streaming
+    convention; players read until EOF). Follow with pcm16_bytes() payloads
+    — used by the chunked-transfer /synthesize_stream endpoint."""
+    bits = 16
+    byte_rate = sample_rate * channels * bits // 8
+    block_align = channels * bits // 8
+    fmt = struct.pack(
+        "<HHIIHH", _WAVE_FORMAT_PCM, channels, sample_rate, byte_rate,
+        block_align, bits,
+    )
+    out = io.BytesIO()
+    out.write(struct.pack("<4sI4s", b"RIFF", 0xFFFFFFFF, b"WAVE"))
+    out.write(struct.pack("<4sI", b"fmt ", len(fmt)))
+    out.write(fmt)
+    out.write(struct.pack("<4sI", b"data", 0xFFFFFFFF))
+    return out.getvalue()
+
+
+def pcm16_bytes(samples: np.ndarray) -> bytes:
+    """Float samples in [-1, 1] → little-endian PCM16 payload bytes."""
+    return np.round(
+        np.clip(np.asarray(samples), -1.0, 1.0) * 32767.0
+    ).astype("<i2").tobytes()
+
+
 def wav_info_bytes(data: bytes) -> tuple[float, int]:
     """(duration_seconds, sample_rate) without decoding sample data.
 

@@ -448,6 +448,92 @@ class F5TTS:
         seed: int | None = None,
     ) -> np.ndarray:
         """Synthesize speech; returns float32 waveform [T_samples]."""
+        lang, chunks, chunk_durs = self._prepare_synthesis(
+            text, lang, ref_text, n_steps, cfg_strength, speed,
+            target_duration_s, max_chars_per_chunk, pause_s,
+        )
+        if len(chunks) == 1:
+            return self._synthesize_segment(
+                chunks[0], lang, ref_audio_path, ref_text, n_steps,
+                cfg_strength, sway_sampling_coef, speed, target_duration_s,
+                seed,
+            )
+        waveforms = self._synthesize_chunks(
+            chunks, lang, ref_audio_path, ref_text, n_steps, cfg_strength,
+            sway_sampling_coef, speed, chunk_durs, seed,
+        )
+        return concat_with_pause(waveforms, self.sample_rate, pause_s)
+
+    def synthesize_stream(
+        self,
+        text: str,
+        lang: str = "mn",
+        ref_audio_path: str | Path | None = None,
+        ref_text: str | None = None,
+        n_steps: int = 32,
+        cfg_strength: float = 2.0,
+        sway_sampling_coef: float | None = -1.0,
+        speed: float = 1.0,
+        target_duration_s: float | None = None,
+        max_chars_per_chunk: int | None = DEFAULT_MAX_CHARS_PER_CHUNK,
+        pause_s: float = DEFAULT_PAUSE_S,
+        seed: int | None = None,
+    ):
+        """Incremental synthesis: yields waveform pieces in playback order.
+
+        Concatenating every yielded piece equals :meth:`synthesize` exactly
+        (pieces are chunk waveforms and the silence pauses between them).
+        TPU-native latency shape (no reference analogue): all chunk-group
+        solves are enqueued upfront — the device keeps working while the
+        first group streams out — so time-to-first-audio is roughly one
+        group's solve rather than the whole request. A serving layer can
+        forward pieces as they arrive (see scripts/serve.py
+        /synthesize_stream).
+        """
+        lang, chunks, chunk_durs = self._prepare_synthesis(
+            text, lang, ref_text, n_steps, cfg_strength, speed,
+            target_duration_s, max_chars_per_chunk, pause_s,
+        )
+        if len(chunks) == 1:
+            yield self._synthesize_segment(
+                chunks[0], lang, ref_audio_path, ref_text, n_steps,
+                cfg_strength, sway_sampling_coef, speed, target_duration_s,
+                seed,
+            )
+            return
+        target_lens, pending = self._dispatch_chunk_groups(
+            chunks, lang, ref_audio_path, ref_text, n_steps, cfg_strength,
+            sway_sampling_coef, speed, chunk_durs, seed,
+        )
+        pause_len = int(self.sample_rate * pause_s)
+        pause = np.zeros(pause_len, dtype=np.float32)
+        ready: dict[int, np.ndarray] = {}
+        next_idx = 0
+        for group, decoded in pending:  # ordered by first chunk index
+            decoded = np.asarray(decoded)
+            for row, i in enumerate(group):
+                n = target_lens[i] * self.hop_length
+                ready[i] = decoded[row, :n].astype(np.float32)
+            while next_idx in ready:
+                if next_idx and pause_len > 0:
+                    yield pause
+                yield ready.pop(next_idx)
+                next_idx += 1
+
+    def _prepare_synthesis(
+        self,
+        text: str,
+        lang: str,
+        ref_text: str | None,
+        n_steps: int,
+        cfg_strength: float,
+        speed: float,
+        target_duration_s: float | None,
+        max_chars_per_chunk: int | None,
+        pause_s: float,
+    ) -> tuple[str, list[str], list[float | None]]:
+        """Shared synthesize/synthesize_stream prologue: validate, split
+        into chunks, and weight-split an explicit duration across chunks."""
         lang = validate_language(lang)
         if n_steps < 1:
             raise ValueError(f"n_steps must be >= 1, got {n_steps}")
@@ -479,27 +565,19 @@ class F5TTS:
         chunks = [c for c in chunks if c]
         if not chunks:
             raise ValueError("text must not be empty")
-
-        if len(chunks) == 1:
-            return self._synthesize_segment(
-                chunks[0], lang, ref_audio_path, ref_text, n_steps,
-                cfg_strength, sway_sampling_coef, speed, target_duration_s,
-                seed,
+        if len(chunks) > 1:
+            _logger.info(
+                "Splitting long synthesis request into %d chunks", len(chunks)
             )
-
-        _logger.info("Splitting long synthesis request into %d chunks", len(chunks))
         weights = [max(1, len(c.replace(" ", ""))) for c in chunks]
         total_weight = sum(weights)
-        chunk_durs = [
+        chunk_durs: list[float | None] = [
             None if target_duration_s is None
             else target_duration_s * w / total_weight
+            if len(chunks) > 1 else target_duration_s
             for w in weights
         ]
-        waveforms = self._synthesize_chunks(
-            chunks, lang, ref_audio_path, ref_text, n_steps, cfg_strength,
-            sway_sampling_coef, speed, chunk_durs, seed,
-        )
-        return concat_with_pause(waveforms, self.sample_rate, pause_s)
+        return lang, chunks, chunk_durs
 
     @staticmethod
     def _pad_rows(n: int, row_multiple: int = 1) -> int:
@@ -820,6 +898,40 @@ class F5TTS:
         at the same ref_len on every row and the post-solve crop stays
         rectangular.
         """
+        target_lens, pending = self._dispatch_chunk_groups(
+            chunks, lang, ref_audio_path, ref_text, n_steps, cfg_strength,
+            sway, speed, chunk_durs, seed, max_batch,
+        )
+        wavs: list[np.ndarray | None] = [None] * len(chunks)
+        for group, decoded in pending:
+            decoded = np.asarray(decoded)
+            for row, i in enumerate(group):
+                n = target_lens[i] * self.hop_length
+                wavs[i] = decoded[row, :n].astype(np.float32)
+        return [w for w in wavs if w is not None]
+
+    def _dispatch_chunk_groups(
+        self,
+        chunks: list[str],
+        lang: str,
+        ref_audio_path: str | Path | None,
+        ref_text: str | None,
+        n_steps: int,
+        cfg_strength: float,
+        sway: float | None,
+        speed: float,
+        chunk_durs: list[float | None],
+        seed: int | None,
+        max_batch: int = 16,
+    ) -> tuple[list[int], list[tuple[list[int], Any]]]:
+        """Enqueue every chunk group's solve+decode; return device handles.
+
+        Returns (per-chunk target frame lengths, [(group chunk indices,
+        lazy decoded waveforms)] ordered by first chunk index so a
+        streaming consumer fetches the group containing chunk 0 first).
+        No host sync happens here — the device pipelines group k+1's solve
+        with group k's transfer.
+        """
         ref_mel, ref_len, ref_ids = self._load_ref(ref_audio_path, ref_text, lang)
         id_lists = [
             self.text_cleaner.text_to_sequence(c, lang=lang) for c in chunks
@@ -833,8 +945,8 @@ class F5TTS:
             t_totals, self.pad_to_multiple, max_batch,
             row_multiple=self._row_multiple,
         )
+        groups.sort(key=min)
 
-        wavs: list[np.ndarray | None] = [None] * len(chunks)
         pending: list[tuple[list[int], Any]] = []
         for group in groups:
             bucket = -(-max(t_totals[i] for i in group)
@@ -877,12 +989,7 @@ class F5TTS:
             pending.append((group, self._decode_mel_group_lazy(
                 jnp.swapaxes(gen, 1, 2), gen_lens,
             )))
-        for group, decoded in pending:
-            decoded = np.asarray(decoded)
-            for row, i in enumerate(group):
-                n = target_lens[i] * self.hop_length
-                wavs[i] = decoded[row, :n].astype(np.float32)
-        return [w for w in wavs if w is not None]
+        return target_lens, pending
 
     # ── construction ──────────────────────────────────────────────────────
 

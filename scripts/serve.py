@@ -2,13 +2,20 @@
 
 POST /synthesize  {"text": "...", "lang": "mn", "steps": 32, "seed": 0,
                    "cfg_strength": 2.0, "speed": 1.0}  → audio/wav bytes
+POST /synthesize_stream  same body → chunked audio/wav: WAV header first,
+                   then PCM16 pieces as each text chunk's solve drains
+                   (time-to-first-audio ≈ one chunk group's solve)
 POST /synthesize_batch {"texts": [...], ...}           → multipart-free JSON
                    {"wavs_base64": [...], "sample_rate": 24000}
 GET  /healthz → {"status": "ok", "model_steps": N}
 
-Single-process, thread-pooled; the jitted sampler cache is shared across
-requests so repeat bucket shapes serve at device speed. Warmup pre-compiles
-the default chunk bucket at startup.
+Single-process, thread-pooled. Concurrent /synthesize requests are merged
+by a micro-batcher: requests with identical solver parameters that arrive
+while the device is busy ride ONE length-grouped CFG Euler solve
+(F5TTS.synthesize_batch). Per-request PRNG seeds make each merged
+request's audio identical to its solo synthesis (the determinism contract
+in models/f5tts.py), so batching changes latency, never outputs. Warmup
+pre-compiles the default chunk bucket at startup.
 """
 
 import argparse
@@ -25,6 +32,7 @@ if str(REPO_ROOT) not in sys.path:
 
 _model = None
 _model_lock = threading.Lock()
+_batcher = None
 _meta = {}
 
 
@@ -34,7 +42,96 @@ def _wav_bytes(wav, sample_rate: int) -> bytes:
     return wav_bytes(wav, sample_rate)
 
 
+class _Request:
+    __slots__ = ("text", "seed", "done", "result", "error")
+
+    def __init__(self, text: str, seed: int) -> None:
+        self.text = text
+        self.seed = seed
+        self.done = threading.Event()
+        self.result = None
+        self.error = None
+
+
+class MicroBatcher:
+    """Cross-request dynamic batching for single-chunk /synthesize.
+
+    Requests enqueue under a parameter key (lang, steps, cfg, sway, speed);
+    a dispatcher thread drains everything compatible that queued up while
+    the previous solve ran and issues one synthesize_batch with per-request
+    seeds. Under no load a request runs alone (no artificial delay beyond
+    ``window_s``, which lets near-simultaneous arrivals coalesce).
+    """
+
+    def __init__(self, model, max_batch: int = 16,
+                 window_s: float = 0.003) -> None:
+        self._model = model
+        self._max_batch = max_batch
+        self._window_s = window_s
+        self._cv = threading.Condition()
+        self._queues: dict[tuple, list[_Request]] = {}
+        self.merged_batches = 0  # telemetry: batches serving >1 request
+        self._thread = threading.Thread(target=self._loop, daemon=True)
+        self._thread.start()
+
+    def submit(self, text: str, seed: int, params: dict) -> "object":
+        req = _Request(text, seed)
+        with self._cv:
+            self._queues.setdefault(_freeze(params), []).append(req)
+            self._cv.notify()
+        req.done.wait()
+        if req.error is not None:
+            raise req.error
+        return req.result
+
+    def _take_batch(self):
+        """Pop up to max_batch requests sharing one parameter key."""
+        for key, reqs in self._queues.items():
+            if reqs:
+                batch, self._queues[key] = (
+                    reqs[: self._max_batch], reqs[self._max_batch:]
+                )
+                return key, batch
+        return None, None
+
+    def _loop(self) -> None:
+        import time
+
+        while True:
+            with self._cv:
+                while not any(self._queues.values()):
+                    self._cv.wait()
+            time.sleep(self._window_s)  # let near-simultaneous arrivals land
+            with self._cv:
+                key, batch = self._take_batch()
+            if not batch:
+                continue
+            params = dict(key)
+            try:
+                with _model_lock:
+                    wavs = self._model.synthesize_batch(
+                        [r.text for r in batch],
+                        seeds=[r.seed for r in batch],
+                        **params,
+                    )
+                if len(batch) > 1:
+                    self.merged_batches += 1
+                for r, w in zip(batch, wavs):
+                    r.result = w
+            except Exception as exc:  # noqa: BLE001 — fail the waiters, not the loop
+                for r in batch:
+                    r.error = exc
+            for r in batch:
+                r.done.set()
+
+
+def _freeze(d: dict) -> tuple:
+    return tuple(sorted(d.items()))
+
+
 class Handler(BaseHTTPRequestHandler):
+    protocol_version = "HTTP/1.1"
+
     def _json(self, code: int, obj) -> None:
         body = json.dumps(obj).encode()
         self.send_response(code)
@@ -45,7 +142,8 @@ class Handler(BaseHTTPRequestHandler):
 
     def do_GET(self):
         if self.path == "/healthz":
-            self._json(200, {"status": "ok", **_meta})
+            merged = _batcher.merged_batches if _batcher else 0
+            self._json(200, {"status": "ok", "merged_batches": merged, **_meta})
         else:
             self._json(404, {"error": "not found"})
 
@@ -64,8 +162,8 @@ class Handler(BaseHTTPRequestHandler):
                 cfg_strength=float(req.get("cfg_strength", 2.0)),
                 sway_sampling_coef=req.get("sway_sampling_coef", -1.0),
                 speed=float(req.get("speed", 1.0)),
-                seed=req.get("seed"),
             )
+            seed = req.get("seed")
         except (TypeError, ValueError) as exc:
             self._json(400, {"error": f"invalid parameter: {exc}"})
             return
@@ -75,21 +173,26 @@ class Handler(BaseHTTPRequestHandler):
                 if not text:
                     self._json(400, {"error": "missing 'text'"})
                     return
-                with _model_lock:
-                    wav = _model.synthesize(text=text, **common)
+                wav = self._synthesize_one(text, seed, common)
                 body = _wav_bytes(wav, _model.sample_rate)
                 self.send_response(200)
                 self.send_header("Content-Type", "audio/wav")
                 self.send_header("Content-Length", str(len(body)))
                 self.end_headers()
                 self.wfile.write(body)
+            elif self.path == "/synthesize_stream":
+                text = req.get("text")
+                if not text:
+                    self._json(400, {"error": "missing 'text'"})
+                    return
+                self._stream(text, seed, common)
             elif self.path == "/synthesize_batch":
                 texts = req.get("texts")
                 if not texts or not isinstance(texts, list):
                     self._json(400, {"error": "missing 'texts' list"})
                     return
                 with _model_lock:
-                    wavs = _model.synthesize_batch(texts, **common)
+                    wavs = _model.synthesize_batch(texts, seed=seed, **common)
                 self._json(200, {
                     "sample_rate": _model.sample_rate,
                     "wavs_base64": [
@@ -105,12 +208,54 @@ class Handler(BaseHTTPRequestHandler):
         except Exception as exc:  # noqa: BLE001 — keep the server alive
             self._json(500, {"error": f"{type(exc).__name__}: {exc}"})
 
+    def _synthesize_one(self, text: str, seed, common: dict):
+        """Single-chunk ref-free requests ride the micro-batcher; long
+        texts (which chunk internally and batch their own solves) run
+        directly under the model lock."""
+        from oron_tts_tpu.models.f5tts import (
+            DEFAULT_MAX_CHARS_PER_CHUNK,
+            split_text_for_synthesis,
+        )
+
+        single = len(
+            split_text_for_synthesis(text, DEFAULT_MAX_CHARS_PER_CHUNK)
+        ) <= 1
+        if _batcher is not None and single:
+            # solo synthesize(seed=None) draws from PRNGKey(0); seed 0
+            # reproduces that through the batch path (determinism contract)
+            return _batcher.submit(
+                text, 0 if seed is None else int(seed), common,
+            )
+        with _model_lock:
+            return _model.synthesize(text=text, seed=seed, **common)
+
+    def _stream(self, text: str, seed, common: dict) -> None:
+        from oron_tts_tpu.data.wav import pcm16_bytes, wav_stream_header
+
+        self.send_response(200)
+        self.send_header("Content-Type", "audio/wav")
+        self.send_header("Transfer-Encoding", "chunked")
+        self.end_headers()
+
+        def write_chunk(payload: bytes) -> None:
+            self.wfile.write(f"{len(payload):X}\r\n".encode())
+            self.wfile.write(payload)
+            self.wfile.write(b"\r\n")
+
+        write_chunk(wav_stream_header(_model.sample_rate))
+        with _model_lock:
+            for piece in _model.synthesize_stream(
+                text=text, seed=seed, **common
+            ):
+                write_chunk(pcm16_bytes(piece))
+        self.wfile.write(b"0\r\n\r\n")
+
     def log_message(self, fmt, *fmt_args):  # quieter default logging
         print(f"[serve] {self.address_string()} {fmt % fmt_args}")
 
 
 def main() -> None:
-    global _model
+    global _model, _batcher
     parser = argparse.ArgumentParser(description="OronTTS-TPU HTTP server")
     parser.add_argument("--checkpoint", type=str, required=True)
     parser.add_argument("--vocoder", type=str, default=None)
@@ -119,6 +264,11 @@ def main() -> None:
     parser.add_argument("--no-ema", action="store_true")
     parser.add_argument("--warmup", action="store_true",
                         help="Pre-compile the default chunk bucket at startup")
+    parser.add_argument("--no-batching", action="store_true",
+                        help="Disable the cross-request micro-batcher "
+                             "(each /synthesize runs alone)")
+    parser.add_argument("--max-batch", type=int, default=16,
+                        help="Micro-batcher cap on merged requests per solve")
     parser.add_argument("--no-scan-blocks", action="store_true",
                         help="Use the unrolled DiT block loop instead of "
                              "lax.scan (identical numerics; scan compiles "
@@ -152,6 +302,8 @@ def main() -> None:
         _meta["mesh"] = dict(mesh.shape)
         print(f"[serve] mesh: {dict(mesh.shape)}")
     _meta["params"] = _model.num_params()
+    if not args.no_batching:
+        _batcher = MicroBatcher(_model, max_batch=args.max_batch)
     if args.warmup:
         # warm the cache entry real requests will hit: default steps=32 on
         # the full 120-char chunk bucket (the sampler cache keys on both)

@@ -176,6 +176,27 @@ def test_chunked_synthesis_with_ref_matches_serial(tmp_path):
     np.testing.assert_allclose(batched, serial, rtol=2e-4, atol=2e-5)
 
 
+def test_synthesize_stream_concat_equals_synthesize():
+    """Concatenating every streamed piece reproduces synthesize() exactly,
+    for both the single-chunk and the multi-chunk (grouped solve) paths."""
+    model = F5TTS.from_config(TINY_CFG)
+    model.init_params(0)
+    short = "сайн байна уу"
+    pieces = list(model.synthesize_stream(short, n_steps=2, seed=4))
+    assert len(pieces) == 1
+    np.testing.assert_array_equal(
+        pieces[0], model.synthesize(short, n_steps=2, seed=4)
+    )
+
+    text = "Нэг өгүүлбэр энд байна. Хоёр дахь өгүүлбэр арай урт байгаа. За."
+    kw = dict(n_steps=2, seed=9, max_chars_per_chunk=30, pause_s=0.01)
+    pieces = list(model.synthesize_stream(text, **kw))
+    assert len(pieces) >= 3  # chunks + pauses
+    np.testing.assert_array_equal(
+        np.concatenate(pieces), model.synthesize(text, **kw)
+    )
+
+
 def test_checkpoint_roundtrip(tmp_path):
     import jax
 

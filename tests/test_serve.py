@@ -27,6 +27,7 @@ def server_port():
     model = F5TTS.from_config(F5Config.from_dict(TINY_CFG))
     model.init_params(0)
     serve._model = model
+    serve._batcher = serve.MicroBatcher(model)
     serve._meta["params"] = model.num_params()
     httpd = ThreadingHTTPServer(("127.0.0.1", 0), serve.Handler)
     thread = threading.Thread(target=httpd.serve_forever, daemon=True)
@@ -78,6 +79,60 @@ def test_synthesize_batch(server_port):
     payload = json.loads(body)
     assert len(payload["wavs_base64"]) == 2
     assert base64.b64decode(payload["wavs_base64"][0])[:4] == b"RIFF"
+
+
+def test_stream_endpoint_matches_synthesize(server_port):
+    """/synthesize_stream's concatenated PCM payload equals /synthesize's
+    (same text/seed), modulo the streaming header's unknown-size fields."""
+    text = "Нэг өгүүлбэр энд байна. Хоёр дахь өгүүлбэр арай урт байгаа."
+    body = {"text": text, "steps": 1, "seed": 2}
+    status, ctype, streamed = _post(server_port, "/synthesize_stream", body)
+    assert status == 200 and ctype == "audio/wav"
+    assert streamed[:4] == b"RIFF"
+    status, _, solo = _post(server_port, "/synthesize", body)
+    assert status == 200
+    assert streamed[44:] == solo[44:]  # identical PCM16 payloads
+    assert len(streamed) == len(solo)
+
+
+def test_concurrent_requests_merge_and_match_solo(server_port):
+    """Requests queued while the device is busy merge into one solve and
+    still return each request's solo audio (per-seed determinism)."""
+    texts = ["нэг хоёр гурав", "сайн байна уу", "тавтай морилно уу"]
+    seeds = [3, 7, 11]
+    solo = [
+        _post(server_port, "/synthesize",
+              {"text": t, "steps": 1, "seed": s})[2]
+        for t, s in zip(texts, seeds)
+    ]
+
+    before = serve._batcher.merged_batches
+    with serve._model_lock:  # stall the batcher so all three queue up
+        results = [None] * 3
+        threads = []
+        for i, (t, s) in enumerate(zip(texts, seeds)):
+            def worker(i=i, t=t, s=s):
+                results[i] = _post(server_port, "/synthesize",
+                                   {"text": t, "steps": 1, "seed": s})
+            th = threading.Thread(target=worker)
+            th.start()
+            threads.append(th)
+        import time
+
+        time.sleep(0.5)  # all three requests reach the batcher queue
+    for th in threads:
+        th.join(timeout=300)
+    assert serve._batcher.merged_batches > before
+    from oron_tts_tpu.data.wav import read_wav_bytes
+
+    for (status, ctype, body), expect in zip(results, solo):
+        assert status == 200 and ctype == "audio/wav"
+        got, _ = read_wav_bytes(body)
+        want, _ = read_wav_bytes(expect)
+        # same PRNG draw per seed; batched vs solo solves may differ by
+        # float reduction order → allow a couple of PCM16 LSBs
+        assert got.shape == want.shape
+        np.testing.assert_allclose(got, want, atol=2.5 / 32767)
 
 
 def test_error_paths(server_port):
