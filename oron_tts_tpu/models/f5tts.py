@@ -481,14 +481,15 @@ class F5TTS:
     ):
         """Incremental synthesis: yields waveform pieces in playback order.
 
-        Concatenating every yielded piece equals :meth:`synthesize` exactly
-        (pieces are chunk waveforms and the silence pauses between them).
-        TPU-native latency shape (no reference analogue): all chunk-group
-        solves are enqueued upfront — the device keeps working while the
-        first group streams out — so time-to-first-audio is roughly one
-        group's solve rather than the whole request. A serving layer can
-        forward pieces as they arrive (see scripts/serve.py
-        /synthesize_stream).
+        Concatenating every yielded piece reproduces :meth:`synthesize`
+        (pieces are chunk waveforms and the silence pauses between them;
+        per-row PRNG keys make each chunk's draw identical, so only float
+        reduction order can differ, ≲1e-4). TPU-native latency shape (no
+        reference analogue): the first chunk solves ALONE (B=1) and every
+        remaining chunk-group solve is enqueued behind it before any host
+        fetch — time-to-first-audio is one single-chunk solve while the
+        device keeps working. A serving layer can forward pieces as they
+        arrive (see scripts/serve.py /synthesize_stream).
         """
         lang, chunks, chunk_durs = self._prepare_synthesis(
             text, lang, ref_text, n_steps, cfg_strength, speed,
@@ -503,7 +504,7 @@ class F5TTS:
             return
         target_lens, pending = self._dispatch_chunk_groups(
             chunks, lang, ref_audio_path, ref_text, n_steps, cfg_strength,
-            sway_sampling_coef, speed, chunk_durs, seed,
+            sway_sampling_coef, speed, chunk_durs, seed, isolate_first=True,
         )
         pause_len = int(self.sample_rate * pause_s)
         pause = np.zeros(pause_len, dtype=np.float32)
@@ -589,6 +590,14 @@ class F5TTS:
             return -(-n // row_multiple) * row_multiple
         return n if n <= 2 else n + (n % 2)
 
+    # One CFG Euler solve saturates a v5e chip near B·T ≈ 3k frames (6k
+    # CFG-doubled tokens at dim 1024): measured per-row solve time is
+    # minimal at 8×384 / 4×768 / 2×1536 and RISES past the knee (8×1536
+    # is 8% worse per row than B=1). Groups therefore cap their rows at
+    # budget//bucket — short utterances batch aggressively, ~full-length
+    # chunks solve (nearly) alone.
+    GROUP_FRAME_BUDGET = 3072
+
     @classmethod
     def _length_groups(
         cls, target_lens: list[int], pad_to_multiple: int, max_batch: int,
@@ -602,11 +611,21 @@ class F5TTS:
         collapses adjacent groups whenever padded_rows × bucket SHRINKS
         (e.g. a singleton rides free in a neighbor whose rows were being
         padded up anyway — measured on the bench mix: 24 → fewer padded
-        rows for 16 utterances).
+        rows for 16 utterances). Group sizes are additionally capped by
+        GROUP_FRAME_BUDGET (see note above): rows×bucket stays in the
+        regime where per-row solve time is flat-to-improving.
         """
         def bucket(g: list[int]) -> int:
             m = max(target_lens[i] for i in g)
             return -(-m // pad_to_multiple) * pad_to_multiple
+
+        def cap(b: int) -> int:
+            # the budget is per chip; rows shard over `data` under a mesh
+            n_dev = max(1, row_multiple)
+            rows = max(1, cls.GROUP_FRAME_BUDGET * n_dev // b)
+            if row_multiple > 1:
+                rows = max(row_multiple, rows - rows % row_multiple)
+            return min(max_batch, rows)
 
         def cost(g: list[int]) -> int:
             return cls._pad_rows(len(g), row_multiple) * bucket(g)
@@ -620,7 +639,8 @@ class F5TTS:
                 continue
             lo = target_lens[cur[0]]
             limit = max(lo * tolerance, lo + pad_to_multiple)
-            if target_lens[idx] <= limit and len(cur) < max_batch:
+            if (target_lens[idx] <= limit
+                    and len(cur) < cap(bucket(cur + [idx]))):
                 cur.append(idx)
             else:
                 groups.append(cur)
@@ -633,7 +653,7 @@ class F5TTS:
             changed = False
             for i in range(len(groups) - 1):
                 a, b = groups[i], groups[i + 1]
-                if len(a) + len(b) > max_batch:
+                if len(a) + len(b) > cap(bucket(a + b)):
                     continue
                 if cost(a + b) < cost(a) + cost(b):
                     groups[i: i + 2] = [a + b]
@@ -923,6 +943,7 @@ class F5TTS:
         chunk_durs: list[float | None],
         seed: int | None,
         max_batch: int = 16,
+        isolate_first: bool = False,
     ) -> tuple[list[int], list[tuple[list[int], Any]]]:
         """Enqueue every chunk group's solve+decode; return device handles.
 
@@ -931,6 +952,11 @@ class F5TTS:
         streaming consumer fetches the group containing chunk 0 first).
         No host sync happens here — the device pipelines group k+1's solve
         with group k's transfer.
+
+        ``isolate_first`` puts chunk 0 in a singleton group dispatched
+        first: streaming time-to-first-audio becomes one B=1 solve of the
+        first chunk instead of its whole length group (per-row keys keep
+        the output identical either way).
         """
         ref_mel, ref_len, ref_ids = self._load_ref(ref_audio_path, ref_text, lang)
         id_lists = [
@@ -941,10 +967,17 @@ class F5TTS:
             for c, ids, dur in zip(chunks, id_lists, chunk_durs)
         ]
         t_totals = [ref_len + tl for tl in target_lens]
-        groups = self._length_groups(
-            t_totals, self.pad_to_multiple, max_batch,
-            row_multiple=self._row_multiple,
-        )
+        if isolate_first and len(chunks) > 1:
+            rest = self._length_groups(
+                t_totals[1:], self.pad_to_multiple, max_batch,
+                row_multiple=self._row_multiple,
+            )
+            groups = [[0]] + [[i + 1 for i in g] for g in rest]
+        else:
+            groups = self._length_groups(
+                t_totals, self.pad_to_multiple, max_batch,
+                row_multiple=self._row_multiple,
+            )
         groups.sort(key=min)
 
         pending: list[tuple[list[int], Any]] = []

@@ -192,9 +192,11 @@ def test_synthesize_stream_concat_equals_synthesize():
     kw = dict(n_steps=2, seed=9, max_chars_per_chunk=30, pause_s=0.01)
     pieces = list(model.synthesize_stream(text, **kw))
     assert len(pieces) >= 3  # chunks + pauses
-    np.testing.assert_array_equal(
-        np.concatenate(pieces), model.synthesize(text, **kw)
-    )
+    # stream isolates chunk 0 into its own solve (TTFA), so vs the
+    # grouped synthesize() only float reduction order may differ
+    got, want = np.concatenate(pieces), model.synthesize(text, **kw)
+    assert got.shape == want.shape
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-5)
 
 
 def test_checkpoint_roundtrip(tmp_path):
@@ -283,6 +285,17 @@ def test_length_groups():
     many = [100] * 40
     groups = F5TTS._length_groups(many, pad_to_multiple=64, max_batch=16)
     assert [len(g) for g in groups] == [16, 16, 8]
+    # frame-budget cap: ~full-length rows solve in pairs (one B=1 CFG
+    # solve already saturates the chip near B*T ~ GROUP_FRAME_BUDGET;
+    # larger groups measured SLOWER per row)
+    longs = [1500] * 6
+    groups = F5TTS._length_groups(longs, pad_to_multiple=64, max_batch=16)
+    assert [len(g) for g in groups] == [2, 2, 2]
+    # under a 4-way data mesh the budget is per chip: cap scales to 8
+    groups = F5TTS._length_groups(
+        longs, pad_to_multiple=64, max_batch=16, row_multiple=4,
+    )
+    assert [len(g) for g in groups] == [6]  # one group, padded to 8 rows
 
 
 def test_synthesize_batch_composition_invariant():
