@@ -72,6 +72,12 @@ def split_text_for_synthesis(text: str, max_chars: int) -> list[str]:
     return chunks
 
 
+def _chunk_seeds(seed: int | None, n: int) -> list[int | None]:
+    """The serial chunk-seed rule (reference f5tts.py:297-320): chunk idx
+    gets seed+idx, or the default draw everywhere when seed is None."""
+    return [None] * n if seed is None else [seed + i for i in range(n)]
+
+
 def concat_with_pause(
     waveforms: list[np.ndarray], sample_rate: int, pause_s: float
 ) -> np.ndarray:
@@ -504,7 +510,8 @@ class F5TTS:
             return
         target_lens, pending = self._dispatch_chunk_groups(
             chunks, lang, ref_audio_path, ref_text, n_steps, cfg_strength,
-            sway_sampling_coef, speed, chunk_durs, seed, isolate_first=True,
+            sway_sampling_coef, speed, chunk_durs,
+            _chunk_seeds(seed, len(chunks)), isolate_first=True,
         )
         pause_len = int(self.sample_rate * pause_s)
         pause = np.zeros(pause_len, dtype=np.float32)
@@ -672,19 +679,24 @@ class F5TTS:
         seed: int | None = None,
         max_batch: int = 16,
         seeds: list[int] | None = None,
+        max_chars_per_chunk: int | None = DEFAULT_MAX_CHARS_PER_CHUNK,
+        pause_s: float = DEFAULT_PAUSE_S,
     ) -> list[np.ndarray]:
         """Batched ref-free synthesis: few sampler calls for many utterances.
 
-        TPU-native throughput path (no reference analogue): utterances are
-        length-grouped (similar-length rows share a bucket, so one long
-        text no longer pads every row — VERDICT r2 #8), each group rides
-        one CFG Euler solve, and per-row durations mask the tails. Group
-        batch sizes round up to multiples of 4 to bound jit-cache entries.
-        Texts longer than one chunk should go through synthesize() instead.
+        TPU-native throughput path (no reference analogue): every text is
+        split into chunks (long texts included — each chunk becomes an
+        independent row, so a paragraph in a batch no longer forces one
+        giant out-of-distribution solve), ALL rows across ALL texts are
+        length-grouped (similar-length rows share a bucket, capped at the
+        measured GROUP_FRAME_BUDGET saturation knee), each group rides one
+        CFG Euler solve + one lens-masked vocoder call, and each text's
+        chunks are re-joined with ``pause_s`` silence.
 
-        Determinism contract: row i draws its noise from its OWN key
-        (``seeds[i]`` if given, else ``(seed or 0) + i``), independent of
-        batch composition, grouping, row position, and bucket padding —
+        Determinism contract: text i's chunk c draws its noise from its
+        OWN key (``seeds[i] + c``, with ``seeds[i]`` defaulting to
+        ``(seed or 0) + i``), independent of batch composition, grouping,
+        row position, and bucket padding —
         ``synthesize_batch(texts, seeds=[s, ...])[i]`` matches
         ``synthesize(texts[i], seed=s)`` (cfm.per_row_noise). This is what
         lets a serving batcher merge concurrent requests without changing
@@ -704,55 +716,41 @@ class F5TTS:
             base = 0 if seed is None else seed
             seeds = [base + i for i in range(len(texts))]
 
-        id_lists = [
-            self.text_cleaner.text_to_sequence(t, lang=lang) for t in texts
-        ]
-        target_lens = [
-            max(50, int(max(1, len(t.replace(" ", ""))) * 13 / speed))
-            for t in texts
-        ]
-        groups = self._length_groups(
-            target_lens, self.pad_to_multiple, max_batch,
-            row_multiple=self._row_multiple,
-        )
-
-        # two passes: dispatch every group's solve+decode first (device
-        # arrays only — no host sync), THEN fetch. Fetch-per-group left the
-        # device idle during each host transfer + numpy conversion; with
-        # all groups enqueued, group k+1 computes while group k drains.
-        wavs: list[np.ndarray | None] = [None] * len(texts)
-        pending: list[tuple[list[int], Any]] = []
-        for group in groups:
-            bucket = -(-max(target_lens[i] for i in group)
-                       // self.pad_to_multiple) * self.pad_to_multiple
-            batch = self._pad_rows(len(group), self._row_multiple)
-            text_arr = np.full((batch, bucket), -1, dtype=np.int32)
-            durations = np.full(batch, 50, dtype=np.int32)  # pad-row minimum
-            for row, i in enumerate(group):
-                tl = target_lens[i]
-                text_arr[row, :tl] = stretch_text_to_len(id_lists[i], tl)
-                durations[row] = tl
-            cond = np.zeros((batch, bucket, self.n_mels), dtype=np.float32)
-            lens = np.zeros(batch, dtype=np.int32)
-            row_seeds = [seeds[i] for i in group]
-            row_seeds += [0] * (batch - len(group))  # pad rows: any key
-            keys = jnp.stack(
-                [jax.random.PRNGKey(s) for s in row_seeds]
+        # flatten every text's chunks into one row set
+        max_chars = max_chars_per_chunk or 0
+        chunk_texts: list[str] = []
+        owner: list[int] = []
+        row_seeds: list[int | None] = []
+        for i, t in enumerate(texts):
+            cs = (
+                split_text_for_synthesis(t, max_chars) if max_chars > 0
+                else [t.strip()]
             )
+            cs = [c for c in cs if c]
+            if not cs:
+                raise ValueError(f"texts[{i}] must not be empty")
+            for ci, c in enumerate(cs):
+                chunk_texts.append(c)
+                owner.append(i)
+                # the serial chunk-seed rule per text: seeds[i] + chunk idx
+                row_seeds.append(seeds[i] + ci)
 
-            fn = self._sample_fn(bucket, n_steps, cfg_strength,
-                                 sway_sampling_coef, batch=batch)
-            mel_out = fn(self.variables, cond, text_arr, durations, lens, keys)
-            pending.append((group, self._decode_mel_group_lazy(
-                jnp.swapaxes(mel_out, 1, 2),  # [batch, n_mels, bucket]
-                durations,
-            )))
+        target_lens, pending = self._dispatch_chunk_groups(
+            chunk_texts, lang, None, None, n_steps, cfg_strength,
+            sway_sampling_coef, speed, [None] * len(chunk_texts), row_seeds,
+            max_batch,
+        )
+        chunk_wavs: list[np.ndarray | None] = [None] * len(chunk_texts)
         for group, decoded in pending:
             decoded = np.asarray(decoded)
             for row, i in enumerate(group):
                 n = target_lens[i] * self.hop_length
-                wavs[i] = decoded[row, :n].astype(np.float32)
-        return [w for w in wavs if w is not None]
+                chunk_wavs[i] = decoded[row, :n].astype(np.float32)
+        wavs: list[np.ndarray] = []
+        for i in range(len(texts)):
+            parts = [w for w, o in zip(chunk_wavs, owner) if o == i]
+            wavs.append(concat_with_pause(parts, self.sample_rate, pause_s))
+        return wavs
 
     def _sample_fn(self, bucket_len: int, steps: int, cfg_strength: float,
                    sway: float | None, batch: int = 1):
@@ -920,7 +918,8 @@ class F5TTS:
         """
         target_lens, pending = self._dispatch_chunk_groups(
             chunks, lang, ref_audio_path, ref_text, n_steps, cfg_strength,
-            sway, speed, chunk_durs, seed, max_batch,
+            sway, speed, chunk_durs, _chunk_seeds(seed, len(chunks)),
+            max_batch,
         )
         wavs: list[np.ndarray | None] = [None] * len(chunks)
         for group, decoded in pending:
@@ -941,7 +940,7 @@ class F5TTS:
         sway: float | None,
         speed: float,
         chunk_durs: list[float | None],
-        seed: int | None,
+        row_seeds: list[int | None],
         max_batch: int = 16,
         isolate_first: bool = False,
     ) -> tuple[list[int], list[tuple[list[int], Any]]]:
@@ -992,7 +991,9 @@ class F5TTS:
             if ref_mel is not None:
                 cond[:, :ref_len] = ref_mel.T
             row_keys = [
-                jax.random.PRNGKey(0 if seed is None else seed + i)
+                jax.random.PRNGKey(
+                    0 if row_seeds[i] is None else row_seeds[i]
+                )
                 for i in group
             ]
             row_keys += [jax.random.PRNGKey(0)] * (batch - len(group))

@@ -209,20 +209,12 @@ class Handler(BaseHTTPRequestHandler):
             self._json(500, {"error": f"{type(exc).__name__}: {exc}"})
 
     def _synthesize_one(self, text: str, seed, common: dict):
-        """Single-chunk ref-free requests ride the micro-batcher; long
-        texts (which chunk internally and batch their own solves) run
-        directly under the model lock."""
-        from oron_tts_tpu.models.f5tts import (
-            DEFAULT_MAX_CHARS_PER_CHUNK,
-            split_text_for_synthesis,
-        )
-
-        single = len(
-            split_text_for_synthesis(text, DEFAULT_MAX_CHARS_PER_CHUNK)
-        ) <= 1
-        if _batcher is not None and single:
-            # solo synthesize(seed=None) draws from PRNGKey(0); seed 0
-            # reproduces that through the batch path (determinism contract)
+        """All ref-free requests ride the micro-batcher (synthesize_batch
+        chunks long texts itself, so a paragraph merges its chunk rows
+        with other requests' rows). A seeded request reproduces its solo
+        synthesize() output; an unseeded one is pinned to seed 0 (chunk c
+        then draws from PRNGKey(0+c) — same rule a seeded request uses)."""
+        if _batcher is not None:
             return _batcher.submit(
                 text, 0 if seed is None else int(seed), common,
             )

@@ -8,6 +8,7 @@ Exit code 0 iff every (non-optional) step passes.
 """
 
 import argparse
+import os
 import sys
 import tempfile
 import time
@@ -19,6 +20,20 @@ import numpy as np
 REPO_ROOT = Path(__file__).resolve().parent.parent
 if str(REPO_ROOT) not in sys.path:
     sys.path.insert(0, str(REPO_ROOT))
+
+# Deployment images may pin JAX onto a remote-TPU platform at a level the
+# JAX_PLATFORMS env var alone can't override (plugin registration rewrites
+# the platform list). Honor the env var via the config before any backend
+# initializes — same guard as tests/conftest.py and __graft_entry__.py —
+# so `JAX_PLATFORMS=cpu scripts/test_pipeline.py` never dials a TPU.
+_want_platform = os.environ.get("JAX_PLATFORMS")
+if _want_platform:
+    import jax
+
+    try:
+        jax.config.update("jax_platforms", _want_platform)
+    except RuntimeError:
+        pass
 
 TINY_MODEL = {
     "vocab_size": 65, "dim": 64, "depth": 2, "heads": 2, "ff_mult": 2,
@@ -82,11 +97,15 @@ def step_mel():
     host = __import__("oron_tts_tpu.ops.mel", fromlist=["log_mel_numpy"])
     mel_np = host.log_mel_numpy(audio, ap.mel_config)
     err = np.abs(mel_np - mel)
-    # host/device agreement: TPU matmul-DFT rounding only perturbs bins at
-    # the log floor (inaudible); audible bins must agree tightly
-    assert err.mean() < 5e-3, err.mean()
+    # host/device agreement: f32 DFT rounding (matmul-DFT on TPU, XLA FFT
+    # reassociation on CPU) only perturbs bins whose true magnitude sits
+    # BELOW the 1e-5 log clamp — cancellation noise near the floor turns
+    # into large log deltas there, on every backend. Audible bins must
+    # agree tightly; floor bins only loosely.
     audible = mel_np > -9.0
+    assert err[audible].mean() < 5e-4, err[audible].mean()
     assert err[audible].max() < 1e-2, err[audible].max()
+    assert err.mean() < 0.2, err.mean()  # floor-bin noise bound
 
 
 def _make_dataset(n=4):

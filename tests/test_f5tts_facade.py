@@ -333,6 +333,29 @@ def test_synthesize_batch_matches_solo_with_seeds():
         model.synthesize_batch(texts, seeds=[1])
 
 
+def test_synthesize_batch_chunks_long_texts():
+    """A long text inside a batch is chunked like synthesize() (no giant
+    out-of-distribution solve) and reproduces the solo output; short
+    neighbors are unaffected."""
+    model = F5TTS.from_config(TINY_CFG)
+    model.init_params(0)
+    long_text = "Нэг өгүүлбэр энд байна. Хоёр дахь өгүүлбэр арай урт байгаа."
+    short = "за"
+    kw = dict(n_steps=2, max_chars_per_chunk=30)
+    batched = model.synthesize_batch(
+        [short, long_text], seeds=[5, 8], **kw
+    )
+    solo_short = model.synthesize(short, n_steps=2, seed=5)
+    solo_long = model.synthesize(long_text, seed=8, **kw)
+    # atol 1e-4: same noise/contract, but batch grouping changes XLA
+    # fusion order in the vocoder decode → last-ulp float drift
+    np.testing.assert_allclose(batched[0], solo_short, rtol=2e-4, atol=1e-4)
+    assert batched[1].shape == solo_long.shape
+    np.testing.assert_allclose(batched[1], solo_long, rtol=2e-4, atol=1e-4)
+    with pytest.raises(ValueError):
+        model.synthesize_batch(["нэг", "  "], **kw)
+
+
 def test_cfm_sample_per_row_noise_invariance():
     """cfm.sample row outputs are invariant to batch composition and to
     bucket padding when seeded via per-row key folding."""
