@@ -121,20 +121,29 @@ def _pick_blocks(T: int, block_q: int | None, block_k: int | None) -> tuple[int,
     else:
         while T % block_k:
             block_k //= 2
-    # f32 score tile budget. On the single-KV-block fast path (block_k ==
-    # T) a full-T q block measured ~1% faster end-to-end than the old 6 MB
-    # cap's choice (bench RTF 0.0403 → 0.0399 at T=1600), and only one
-    # score tile is live. The streaming path (block_k < T) keeps ~2 tiles
-    # live (acc + exp) — an 11.5 MB budget there blew the 16 MB scoped
-    # VMEM at T=2816 (17.99 M needed), so it keeps the 6 MB cap.
-    budget = int((11.5 if block_k == T else 6) * 1024 * 1024)
+    # Score-tile budget. On the single-KV-block fast path (block_k == T) a
+    # full-T q block measured ~1% faster end-to-end than the old 6 MB f32
+    # cap's choice (bench RTF 0.0403 → 0.0399 at T=1600). The live bytes
+    # per grid step there are ~6 B/element of the score tile — the f32
+    # scores AND the bf16 prob copy fed to the PV matmul coexist — so the
+    # budget counts 6 B/elem against a 15.5 MiB ceiling (scoped VMEM is
+    # 16 MiB): T=1600 full-T is 15.4 MB (measured, fits); T=1664 full-T
+    # would be 16.6 MB (over — previously a latent compile failure, now
+    # picks 832); T=2048 picks 1024. The streaming path (block_k < T)
+    # keeps ~2 f32 tiles live (acc + exp) — an 11.5 MB f32 budget there
+    # blew the 16 MB scoped VMEM at T=2816 (17.99 M needed) — so it keeps
+    # the 6 MB f32 (=24 B/elem-equivalent headroom) cap.
+    if block_k == T:
+        budget, bytes_per_elem = int(15.5 * 1024 * 1024), 6
+    else:
+        budget, bytes_per_elem = 6 * 1024 * 1024, 4
     if block_q is not None:
         while block_q > 8 and T % block_q:
             block_q //= 2
         if block_q < 8 or T % block_q:
             block_q = None  # override can't tile this T — use auto choice
     if block_q is None:
-        max_q = max(budget // (block_k * 4), 8)
+        max_q = max(budget // (block_k * bytes_per_elem), 8)
         block_q = next((d for d in divisors_desc(T) if d <= max_q), 128)
     return block_q, block_k
 
