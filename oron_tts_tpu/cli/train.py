@@ -51,6 +51,29 @@ def build_dataset(args, config):
     metadata_path = Path(args.data_dir) / "metadata.json"
     with open(metadata_path) as f:
         metadata = json.load(f)
+    # header-only durations FIRST: they drive frame-budget batching locally
+    # and the multi-host global batch schedule, and a sample whose header
+    # can't be read would get a ~0-frame estimate — the schedule would then
+    # pack it with tiny items and the collator would CROP the real clip to
+    # that bucket. Unreadable files are excluded up front instead (same
+    # filter-with-logging pattern as the HF ingest path).
+    from oron_tts_tpu.data.wav import wav_info
+
+    durations, keep, skipped = [], [], 0
+    for m in metadata:
+        try:
+            durations.append(wav_info(m["audio_path"])[0])
+            keep.append(m)
+        except Exception as exc:  # noqa: BLE001 — corrupt/missing file
+            skipped += 1
+            print(f"[train] skipping unreadable audio "
+                  f"{m.get('audio_path')}: {type(exc).__name__}: {exc}")
+    if skipped:
+        print(f"[train] skipped {skipped}/{len(metadata)} samples with "
+              f"unreadable WAV headers")
+    metadata = keep
+    if not metadata:
+        raise ValueError(f"no readable samples in {metadata_path}")
     ds = TTSDataset(
         audio_paths=[Path(m["audio_path"]) for m in metadata],
         texts=[m["text"] for m in metadata],
@@ -60,16 +83,6 @@ def build_dataset(args, config):
         attr_tokens_list=[_metadata_attr_tokens(m.get("attr_tokens")) for m in metadata],
         cache_bytes=int(config.get("dataset_cache_bytes", 2 << 30)),
     )
-    # header-only durations: enables frame-budget batching locally and the
-    # multi-host global batch schedule (both need per-sample lengths)
-    from oron_tts_tpu.data.wav import wav_info
-
-    durations = []
-    for m in metadata:
-        try:
-            durations.append(wav_info(m["audio_path"])[0])
-        except Exception:
-            durations.append(0.0)
     ds.durations = durations
     return ds
 

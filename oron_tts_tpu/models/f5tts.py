@@ -264,6 +264,13 @@ class F5TTS:
 
             variables = jax.device_put(variables, replicated(self._mesh))
         self._vocoder = (module, variables)
+        # drop jitted decode closures that captured the OLD vocoder module:
+        # a same-shape call would otherwise hit the stale cache entry and
+        # run the new weights through the old module's graph (or keep the
+        # old weights entirely)
+        self._sample_cache = {
+            k: v for k, v in self._sample_cache.items() if k[0] != "voc"
+        }
 
     def load_vocoder(self, checkpoint_path: str | Path | None = None) -> None:
         """Load a Vocos checkpoint (native .npz or official torch format).

@@ -408,6 +408,22 @@ class Attention(nn.Module):
         B, T, _ = x.shape
         inner = self.heads * self.dim_head
         impl = self.attn_impl or ("lanes" if self.use_flash else "einsum")
+        # the lanes kernel tiles the H·D axis in 128-lane chunks with whole
+        # heads per chunk; any other geometry would leave trailing lanes
+        # unwritten (silent garbage for the last head). Auto-selected lanes
+        # falls back to the classic layout; an explicit override errors.
+        if impl == "lanes":
+            lanes_ok = inner <= 128 or (
+                inner % 128 == 0 and 128 % self.dim_head == 0
+            )
+            if not lanes_ok:
+                if self.attn_impl == "lanes":
+                    raise ValueError(
+                        f"attn_impl='lanes' needs heads*dim_head <= 128 or a "
+                        f"multiple of 128 with dim_head dividing 128; got "
+                        f"heads={self.heads}, dim_head={self.dim_head}"
+                    )
+                impl = "flash"
 
         qf = nn.Dense(inner, dtype=self.dtype, name="to_q")(x)
         kf = nn.Dense(inner, dtype=self.dtype, name="to_k")(x)

@@ -912,7 +912,10 @@ class F5Trainer:
                 1.0 if found else 0.0,
                 float(info.get("step", 0) or 0),
                 float(info.get("epoch", 0) or 0),
-                float(info.get("best_val") or np.inf),
+                # explicit None check: a best_val of exactly 0.0 is a real
+                # best, not "no best yet"
+                np.inf if info.get("best_val") is None
+                else float(info["best_val"]),
             ], np.float64)
         )
         if meta[0] < 0.5:  # rank 0 has no checkpoint: all start fresh

@@ -85,12 +85,20 @@ class MicroBatcher:
         return req.result
 
     def _take_batch(self):
-        """Pop up to max_batch requests sharing one parameter key."""
-        for key, reqs in self._queues.items():
-            if reqs:
-                batch, self._queues[key] = (
-                    reqs[: self._max_batch], reqs[self._max_batch:]
-                )
+        """Pop up to max_batch requests sharing one parameter key.
+
+        Served/empty keys are DELETED (not left as empty lists): the dict
+        never grows with stale client-controlled parameter combos, and a
+        drained key re-inserts at the end on its next request, so iteration
+        order rotates across keys instead of starving later ones."""
+        for key in list(self._queues):
+            reqs = self._queues[key]
+            batch, rest = reqs[: self._max_batch], reqs[self._max_batch:]
+            if rest:
+                self._queues[key] = rest
+            else:
+                del self._queues[key]
+            if batch:
                 return key, batch
         return None, None
 
@@ -118,9 +126,20 @@ class MicroBatcher:
                     self.merged_batches += 1
                 for r, w in zip(batch, wavs):
                     r.result = w
-            except Exception as exc:  # noqa: BLE001 — fail the waiters, not the loop
-                for r in batch:
-                    r.error = exc
+            except Exception as exc:  # noqa: BLE001 — isolate, don't poison the loop
+                if len(batch) == 1:
+                    batch[0].error = exc
+                else:
+                    # one bad request (e.g. whitespace-only text) must not
+                    # fail its co-batched neighbors: retry each alone
+                    for r in batch:
+                        try:
+                            with _model_lock:
+                                r.result = self._model.synthesize(
+                                    text=r.text, seed=r.seed, **params,
+                                )
+                        except Exception as solo_exc:  # noqa: BLE001
+                            r.error = solo_exc
             for r in batch:
                 r.done.set()
 
@@ -170,7 +189,7 @@ class Handler(BaseHTTPRequestHandler):
         try:
             if self.path == "/synthesize":
                 text = req.get("text")
-                if not text:
+                if not text or not str(text).strip():
                     self._json(400, {"error": "missing 'text'"})
                     return
                 wav = self._synthesize_one(text, seed, common)
@@ -182,7 +201,7 @@ class Handler(BaseHTTPRequestHandler):
                 self.wfile.write(body)
             elif self.path == "/synthesize_stream":
                 text = req.get("text")
-                if not text:
+                if not text or not str(text).strip():
                     self._json(400, {"error": "missing 'text'"})
                     return
                 self._stream(text, seed, common)
@@ -224,6 +243,15 @@ class Handler(BaseHTTPRequestHandler):
     def _stream(self, text: str, seed, common: dict) -> None:
         from oron_tts_tpu.data.wav import pcm16_bytes, wav_stream_header
 
+        # synthesize_stream is a generator: its validation only runs at the
+        # first next(). Pull the first piece BEFORE sending headers so a
+        # ValueError still surfaces as a clean 400 (do_POST's handler) —
+        # otherwise a second status line would be injected into an open
+        # chunked response and the terminator never written.
+        gen = _model.synthesize_stream(text=text, seed=seed, **common)
+        with _model_lock:
+            first = next(gen)
+
         self.send_response(200)
         self.send_header("Content-Type", "audio/wav")
         self.send_header("Transfer-Encoding", "chunked")
@@ -234,13 +262,27 @@ class Handler(BaseHTTPRequestHandler):
             self.wfile.write(payload)
             self.wfile.write(b"\r\n")
 
-        write_chunk(wav_stream_header(_model.sample_rate))
-        with _model_lock:
-            for piece in _model.synthesize_stream(
-                text=text, seed=seed, **common
-            ):
+        # The model lock guards only the next() calls (device work); socket
+        # writes happen OUTSIDE it, so a slow-reading client can't block
+        # the micro-batcher and every other request on TCP backpressure.
+        # Once headers are out, a failure can only be reported by cutting
+        # the chunked stream short (no terminator) — never by raising into
+        # do_POST's JSON error path, which would inject a second response.
+        try:
+            write_chunk(wav_stream_header(_model.sample_rate))
+            write_chunk(pcm16_bytes(first))
+            while True:
+                with _model_lock:
+                    try:
+                        piece = next(gen)
+                    except StopIteration:
+                        break
                 write_chunk(pcm16_bytes(piece))
-        self.wfile.write(b"0\r\n\r\n")
+            self.wfile.write(b"0\r\n\r\n")
+        except Exception as exc:  # noqa: BLE001 — stream already started
+            self.log_message("stream aborted: %s: %s",
+                             type(exc).__name__, exc)
+            self.close_connection = True
 
     def log_message(self, fmt, *fmt_args):  # quieter default logging
         print(f"[serve] {self.address_string()} {fmt % fmt_args}")

@@ -102,6 +102,33 @@ def test_rope_lanes_matches_heads_first():
     np.testing.assert_allclose(np.asarray(kl), back(kh), atol=1e-6)
 
 
+def test_lanes_geometry_guard():
+    """heads*dim_head > 128 and not a 128-multiple would leave lanes past
+    the last full tile unwritten — auto-selected lanes must fall back to
+    the classic flash layout (same output as einsum), and an explicit
+    attn_impl='lanes' override must error instead of returning garbage."""
+    from oron_tts_tpu.models.layers import Attention
+
+    rng = np.random.default_rng(4)
+    B, T, heads, D = 2, 64, 3, 64  # H·D = 192: one floor(192/128)=1 tile
+    x = jnp.asarray(rng.standard_normal((B, T, heads * D)), jnp.float32)
+
+    auto = Attention(dim=heads * D, heads=heads, dim_head=D, use_flash=True)
+    variables = auto.init(jax.random.PRNGKey(0), x)
+    out_auto = auto.apply(variables, x)
+    ref = Attention(dim=heads * D, heads=heads, dim_head=D,
+                    attn_impl="einsum")
+    out_ref = ref.apply(variables, x)
+    np.testing.assert_allclose(
+        np.asarray(out_auto), np.asarray(out_ref), atol=3e-5
+    )
+
+    forced = Attention(dim=heads * D, heads=heads, dim_head=D,
+                       attn_impl="lanes")
+    with pytest.raises(ValueError, match="lanes"):
+        forced.apply(variables, x)
+
+
 def test_dit_block_lanes_matches_einsum():
     """Full DiT forward: attn_impl='lanes' ≡ attn_impl='einsum'."""
     from oron_tts_tpu.models.dit import DiT

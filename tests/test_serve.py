@@ -146,6 +146,16 @@ def test_concurrent_requests_merge_and_match_solo(server_port):
 def test_error_paths(server_port):
     status, _, body = _post(server_port, "/synthesize", {})
     assert status == 400 and b"missing 'text'" in body
+    # whitespace-only text is rejected at the door (not inside a merged
+    # batch, where it would poison co-batched requests)
+    status, _, body = _post(server_port, "/synthesize", {"text": "   "})
+    assert status == 400 and b"missing 'text'" in body
+    # the stream endpoint validates BEFORE sending chunked headers, so a
+    # bad request still gets a clean 400 JSON response
+    status, ctype, body = _post(
+        server_port, "/synthesize_stream", {"text": "x", "steps": 0},
+    )
+    assert status == 400 and ctype == "application/json"
     status, _, body = _post(server_port, "/synthesize", {"text": "x", "steps": None})
     assert status == 400 and b"invalid parameter" in body
     status, _, body = _post(server_port, "/synthesize",
@@ -153,3 +163,30 @@ def test_error_paths(server_port):
     assert status == 400 and "Unsupported language".encode() in body
     status, _, _ = _post(server_port, "/nope", {})
     assert status == 404
+
+
+def test_batcher_isolates_bad_request(server_port):
+    """A request that fails inside a merged solve must not fail its
+    co-batched neighbors: the batcher retries survivors individually."""
+    model = serve._model
+    batcher = serve.MicroBatcher(model, window_s=0.2)
+    params = dict(lang="mn", n_steps=1, cfg_strength=2.0,
+                  sway_sampling_coef=-1.0, speed=1.0)
+    results = {}
+
+    def submit(name, text):
+        try:
+            results[name] = batcher.submit(text, 5, params)
+        except Exception as exc:  # noqa: BLE001
+            results[name] = exc
+
+    threads = [
+        threading.Thread(target=submit, args=("good", "сайн")),
+        threading.Thread(target=submit, args=("bad", "   ")),
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=300)
+    assert isinstance(results["bad"], ValueError)
+    assert isinstance(results["good"], np.ndarray) and len(results["good"])
