@@ -31,7 +31,10 @@ class PeriodDiscriminator(nn.Module):
         """wav [B, T] → (logits [B, N], feature maps)."""
         B, T = wav.shape
         pad = (-T) % self.period
-        x = jnp.pad(wav, ((0, 0), (0, pad)), mode="reflect" if T > 1 else "constant")
+        # reflect needs pad <= T-1; segments shorter than the period can
+        # require up to period-1 pad samples
+        mode = "reflect" if pad < T else "constant"
+        x = jnp.pad(wav, ((0, 0), (0, pad)), mode=mode)
         x = x.reshape(B, -1, self.period, 1)  # [B, T/p, p, 1]
 
         features: list[jnp.ndarray] = []

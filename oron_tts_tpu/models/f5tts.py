@@ -189,6 +189,16 @@ class F5TTS:
         self._mesh = mesh
         self._sample_cache.clear()
         if mesh is None:
+            # really return to single-device serving: weights loaded while
+            # a mesh was active are committed to multi-device shardings and
+            # would keep execution spread over the old mesh (or error if
+            # the topology changed) even though the cache re-jits unsharded
+            dev = jax.devices()[0]
+            if self._variables is not None:
+                self._variables = jax.device_put(self._variables, dev)
+            if isinstance(self._vocoder, tuple):
+                module, variables = self._vocoder
+                self._vocoder = (module, jax.device_put(variables, dev))
             return
         if self._variables is not None:
             self._variables = self._shard_variables(self._variables)
@@ -210,6 +220,10 @@ class F5TTS:
             for k, v in variables.items()
         }
         return jax.device_put(variables, shardings)
+
+    def _bucket(self, n: int) -> int:
+        """Round a frame count up to the jit-cache bucket multiple."""
+        return -(-n // self.pad_to_multiple) * self.pad_to_multiple
 
     @property
     def _row_multiple(self) -> int:
@@ -361,7 +375,7 @@ class F5TTS:
         with the batched serving path.
         """
         T = mel.shape[-1]
-        bucket = -(-T // self.pad_to_multiple) * self.pad_to_multiple
+        bucket = self._bucket(T)
         mel = jnp.pad(mel, ((0, 0), (0, 0), (0, bucket - T)))
         wav = self._decode_mel_group_lazy(mel, np.asarray([T], np.int32))
         return np.asarray(wav)[0, : T * self.hop_length]
@@ -871,7 +885,7 @@ class F5TTS:
 
         t_total = ref_len + target_len
         # static-shape bucket: pad to multiple, mask out the tail
-        bucket = -(-t_total // self.pad_to_multiple) * self.pad_to_multiple
+        bucket = self._bucket(t_total)
 
         if ref_len > 0:
             full_ids = (
@@ -988,8 +1002,7 @@ class F5TTS:
 
         pending: list[tuple[list[int], Any]] = []
         for group in groups:
-            bucket = -(-max(t_totals[i] for i in group)
-                       // self.pad_to_multiple) * self.pad_to_multiple
+            bucket = self._bucket(max(t_totals[i] for i in group))
             batch = self._pad_rows(len(group), self._row_multiple)
             text_arr = np.full((batch, bucket), -1, dtype=np.int32)
             durations = np.full(batch, max(ref_len + 1, 50), dtype=np.int32)
@@ -1022,7 +1035,7 @@ class F5TTS:
             gen = mel_out[:, ref_len:, :]  # [batch, bucket-ref_len, n_mels]
             # re-bucket the generated region so vocoder jit keys stay
             # bounded when ref_len is not a multiple of pad_to_multiple
-            t_gen = -(-gen.shape[1] // self.pad_to_multiple) * self.pad_to_multiple
+            t_gen = self._bucket(gen.shape[1])
             gen = jnp.pad(gen, ((0, 0), (0, t_gen - gen.shape[1]), (0, 0)))
             gen_lens = np.zeros(batch, dtype=np.int32)
             for row, i in enumerate(group):

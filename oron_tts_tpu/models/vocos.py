@@ -67,54 +67,67 @@ class VocosDecoder(nn.Module):
     ) -> jnp.ndarray:
         """Decode; with ``lens`` [B], produce bucket-invariant output.
 
-        Serving decodes whole padded length-groups in one call. Without
-        masking, each row's last ~27 frames (conv receptive field) see the
-        bucket's pad region, and the final OLA window mixes in pad-frame
-        energy — the tail of a batched row then differs from its solo
-        decode. With ``lens``: the caller zeroes mel beyond each row's
-        length (matching the embed conv's SAME zero padding) and we zero
-        the STFT coefficients of frames >= lens[i], so samples in
-        [0, lens[i]*hop) depend only on that row's own mel. Verified
-        batched == solo in tests/test_f5tts_facade.py.
+        Serving decodes whole padded length-groups in one call; the solo
+        path decodes [1, bucket] the same way. With ``lens``, row i's
+        first lens[i]·hop samples are an exact function of its own first
+        lens[i] mel frames, independent of the bucket: activations are
+        re-zeroed beyond lens after the embed conv and after EVERY block
+        (pad frames otherwise carry bias-propagated values that leak back
+        through the ~27-frame conv receptive field), pad-frame STFT
+        coefficients are zeroed, and the ISTFT window envelope is
+        overlap-added over each row's own lens frames (the full-bucket
+        envelope would normalize the last ~n_fft samples differently per
+        pad count). Verified batched == solo in tests/test_vocos_*.
         """
         x = mel.swapaxes(-1, -2)  # [B, T, n_mels]
+        frame_valid = None
+        if lens is not None:
+            frame_valid = (
+                jnp.arange(x.shape[1])[None, :] < lens[:, None]
+            )[..., None]
+
+        def remask(y: jnp.ndarray) -> jnp.ndarray:
+            return y if frame_valid is None else jnp.where(frame_valid, y, 0.0)
+
         x = nn.Conv(
             self.dim, kernel_size=(7,), padding="SAME", dtype=self.dtype,
             name="embed",
         )(x)
         x = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm_pre")(x)
+        x = remask(x)
         for i in range(self.n_layers):
             x = VocosConvNeXtBlock(
                 self.dim, self.intermediate_dim,
                 layer_scale=self.layer_scale, dtype=self.dtype, name=f"block{i}",
             )(x)
+            x = remask(x)
         x = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm_post")(x)
 
         n_bins = self.n_fft // 2 + 1
         out = nn.Dense(n_bins * 2, dtype=self.dtype, name="head")(x)  # [B, T, 2F]
-        out = out.astype(jnp.float32)
-        if lens is not None:
-            frame_valid = (
-                jnp.arange(out.shape[1])[None, :] < lens[:, None]
-            )[..., None]
-            out = jnp.where(frame_valid, out, 0.0)
+        out = remask(out.astype(jnp.float32))
 
         if self.head_mode == "mag_phase":
             mag, phase = out[..., :n_bins], out[..., n_bins:]
             mag = jnp.exp(jnp.clip(mag, max=4.605170185988091))  # official Vocos clips magnitude at 1e2
             re = (mag * jnp.cos(phase)).swapaxes(-1, -2)  # [B, F, T]
             im = (mag * jnp.sin(phase)).swapaxes(-1, -2)
-            if lens is not None:
+            if frame_valid is not None:
                 fv = frame_valid[..., 0][:, None, :]  # [B, 1, T]
                 re = jnp.where(fv, re, 0.0)  # exp(0)·cos(0) = 1 on pad frames
                 im = jnp.where(fv, im, 0.0)
             return istft_real(re, im, self.n_fft, self.hop_length,
-                              normalized=False, padding="same")
-        # reference stub: interleaved real/imag per bin, normalized ISTFT
+                              normalized=False, padding="same", lens=lens)
+        # reference stub: interleaved real/imag per bin, normalized ISTFT.
+        # length=T·hop keeps the module docstring's contract — the torch
+        # default would yield (T-1)·hop and silently truncate a row whose
+        # target length equals the bucket
         ri = out.reshape(*out.shape[:-1], n_bins, 2)
         re = ri[..., 0].swapaxes(-1, -2)
         im = ri[..., 1].swapaxes(-1, -2)
-        return istft_real(re, im, self.n_fft, self.hop_length, normalized=True)
+        return istft_real(re, im, self.n_fft, self.hop_length,
+                          normalized=True, lens=lens,
+                          length=out.shape[1] * self.hop_length)
 
 
 def convert_vocos_state_dict(

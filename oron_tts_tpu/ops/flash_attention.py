@@ -751,6 +751,10 @@ def flash_attention_trainable(q, k, v, kv_lens, interpret=False):
 
 
 def _fat_fwd(q, k, v, kv_lens, interpret):
+    # fill None like _fal_fwd does: the backward kernel reads kv_lens
+    # unconditionally, so a None residual would crash at bwd trace time
+    if kv_lens is None:
+        kv_lens = jnp.full((q.shape[0],), q.shape[2], jnp.int32)
     out = flash_attention(q, k, v, kv_lens=kv_lens, interpret=interpret)
     return out, (q, k, v, kv_lens, out)
 

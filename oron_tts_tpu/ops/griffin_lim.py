@@ -51,7 +51,7 @@ def griffin_lim(
     n_iter: int = 32,
     seed: int = 0,
 ) -> jnp.ndarray:
-    """[..., n_mels, T] log-mel → waveform [..., (T-1)*hop]."""
+    """[..., n_mels, T] log-mel → waveform [..., T*hop]."""
     mag = mel_to_linear(log_mel, cfg)  # [..., F, T]
     t_frames = mag.shape[-1]
     length = (t_frames - 1) * cfg.hop_length
@@ -71,5 +71,9 @@ def griffin_lim(
         return mag * new_re / norm, mag * new_im / norm
 
     re, im = jax.lax.fori_loop(0, n_iter, body, (re, im))
+    # final render at the framework's T·hop contract (the torch-center
+    # (T-1)·hop convention would leave callers' last hop samples as
+    # spliced-in silence); the iteration above stays at (T-1)·hop so each
+    # re-STFT reproduces exactly t_frames frames
     return istft_real(re, im, cfg.n_fft, cfg.hop_length, cfg.win_length,
-                      length=length)
+                      length=t_frames * cfg.hop_length)

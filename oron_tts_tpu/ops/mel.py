@@ -51,6 +51,16 @@ def hann_window(win_length: int, periodic: bool = True) -> np.ndarray:
     return w[:win_length].astype(np.float32)
 
 
+def padded_hann_window(n_fft: int, win_length: int) -> np.ndarray:
+    """Hann window zero-padded and centered to n_fft (the torch.stft
+    convention when win_length < n_fft). THE window used by every STFT/
+    ISTFT/mel path in the framework — keep the convention in one place."""
+    w = np.zeros(n_fft, dtype=np.float32)
+    offset = (n_fft - win_length) // 2
+    w[offset: offset + win_length] = hann_window(win_length)
+    return w
+
+
 def _hz_to_mel_htk(f: np.ndarray | float) -> np.ndarray:
     return 2595.0 * np.log10(1.0 + np.asarray(f, dtype=np.float64) / 700.0)
 
@@ -82,10 +92,7 @@ def mel_filterbank(cfg: MelConfig) -> np.ndarray:
 def _constants(cfg: MelConfig) -> tuple[np.ndarray, np.ndarray]:
     # NOTE: cache host numpy arrays, never jnp arrays — a jnp constant created
     # during a jit trace would be memoized as a leaked tracer.
-    window = np.zeros(cfg.n_fft, dtype=np.float32)
-    offset = (cfg.n_fft - cfg.win_length) // 2
-    window[offset: offset + cfg.win_length] = hann_window(cfg.win_length)
-    return window, mel_filterbank(cfg)
+    return padded_hann_window(cfg.n_fft, cfg.win_length), mel_filterbank(cfg)
 
 
 def frame_signal(audio: jnp.ndarray, n_fft: int, hop: int) -> jnp.ndarray:

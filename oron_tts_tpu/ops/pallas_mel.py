@@ -20,7 +20,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from oron_tts_tpu.ops.dft import rdft_basis
-from oron_tts_tpu.ops.mel import MelConfig, hann_window, mel_filterbank
+from oron_tts_tpu.ops.mel import MelConfig, mel_filterbank, padded_hann_window
 
 
 def _mel_kernel(*refs, block_t: int, hop: int, n_fft: int, log_clip: float):
@@ -63,9 +63,7 @@ def _mel_kernel(*refs, block_t: int, hop: int, n_fft: int, log_clip: float):
 
 @functools.lru_cache(maxsize=4)
 def _consts(cfg: MelConfig) -> tuple[np.ndarray, ...]:
-    window = np.zeros((1, cfg.n_fft), dtype=np.float32)
-    offset = (cfg.n_fft - cfg.win_length) // 2
-    window[0, offset: offset + cfg.win_length] = hann_window(cfg.win_length)
+    window = padded_hann_window(cfg.n_fft, cfg.win_length)[None, :]
     cos_b, sin_b = rdft_basis(cfg.n_fft)
     return window, cos_b, sin_b, mel_filterbank(cfg)
 
@@ -90,7 +88,12 @@ def log_mel_pallas(
     # whole hop rows (the kernel reads the signal as a [N, hop] matrix)
     ratio = n_fft // hop
     need = (n_blocks * block_t + ratio - 1) * hop
-    padded = jnp.pad(padded, (0, max(0, need - padded.shape[0])))
+    # pad to a whole number of hop rows even when `need` is already covered:
+    # reflect-pad yields L + n_fft samples, which is a hop multiple only
+    # when L is — otherwise the reshape below would fail for the ~255 in
+    # 65536 lengths whose final frame block is exactly full
+    target = max(need, -(-padded.shape[0] // hop) * hop)
+    padded = jnp.pad(padded, (0, target - padded.shape[0]))
     audio_rows = padded.reshape(-1, hop)
     n_rows = n_blocks * block_t
     shifted = [audio_rows[j: j + n_rows] for j in range(ratio)]

@@ -15,15 +15,12 @@ import jax.numpy as jnp
 import numpy as np
 
 from oron_tts_tpu.ops.dft import irdft
-from oron_tts_tpu.ops.mel import hann_window
+from oron_tts_tpu.ops.mel import padded_hann_window
 
 
 @functools.lru_cache(maxsize=8)
 def _window(n_fft: int, win_length: int) -> np.ndarray:
-    w = np.zeros(n_fft, dtype=np.float32)
-    offset = (n_fft - win_length) // 2
-    w[offset: offset + win_length] = hann_window(win_length)
-    return w
+    return padded_hann_window(n_fft, win_length)
 
 
 @functools.lru_cache(maxsize=16)
@@ -78,6 +75,7 @@ def istft_real(
     length: int | None = None,
     eps: float = 1e-11,
     padding: str = "center",
+    lens: jnp.ndarray | None = None,
 ) -> jnp.ndarray:
     """Overlap-add inverse STFT from (Re, Im) parts.
 
@@ -87,6 +85,11 @@ def istft_real(
         padding: "center" trims n_fft//2 per side (torch.istft); "same"
             trims (n_fft-hop)//2 per side so T frames → T·hop samples
             (official Vocos ISTFTHead convention).
+        lens: per-row valid frame counts [...]. When given, the window-
+            square normalizer is overlap-added over each row's OWN first
+            ``lens`` frames instead of the full padded frame axis — the
+            last ~n_fft samples of a row are then identical no matter how
+            many pad frames follow it (bucket-invariant batched decode).
 
     Returns:
         waveform [..., length]
@@ -103,20 +106,36 @@ def istft_real(
     out_len = n_fft + hop_length * (n_frames - 1)
 
     wav = _overlap_add(frames, hop_length)
-    wsq = jnp.asarray(_window_envelope(n_fft, hop_length, win_length, n_frames))
+    if lens is None:
+        wsq = jnp.asarray(
+            _window_envelope(n_fft, hop_length, win_length, n_frames)
+        )
+    else:
+        valid = (
+            jnp.arange(n_frames) < lens[..., None]
+        ).astype(frames.dtype)  # [..., T]
+        w2 = (window * window).astype(frames.dtype)
+        wsq = _overlap_add(valid[..., None] * w2, hop_length)
     wav = wav / jnp.maximum(wsq, eps)
 
     if padding == "same":
         pad = (n_fft - hop_length) // 2
-        wav = wav[..., pad: out_len - pad]
     elif center:
         pad = n_fft // 2
-        wav = wav[..., pad: out_len - pad]
-    if length is not None:
-        wav = wav[..., :length]
-        deficit = length - wav.shape[-1]
-        if deficit > 0:
-            wav = jnp.pad(wav, [(0, 0)] * (wav.ndim - 1) + [(0, deficit)])
+    else:
+        pad = 0
+    if length is None:
+        return wav[..., pad: out_len - pad]
+    # explicit length: take REAL overlap-add samples past the default trim
+    # while they exist (the OLA buffer extends n_fft//2 beyond it) instead
+    # of zero-padding — a vocoder asked for T·hop samples from T frames
+    # would otherwise splice one hop of digital silence into the audio.
+    # (torch.istft zero-pads here; callers needing that exact corner should
+    # slice the default-length output themselves.)
+    wav = wav[..., pad: min(pad + length, out_len)]
+    deficit = length - wav.shape[-1]
+    if deficit > 0:
+        wav = jnp.pad(wav, [(0, 0)] * (wav.ndim - 1) + [(0, deficit)])
     return wav
 
 
