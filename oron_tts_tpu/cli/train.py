@@ -310,14 +310,33 @@ def main() -> None:
         # multi-chip DP regime almost always does: per-chip frames =
         # budget / dp) — pick by memory estimate (utils/memory.py)
         from oron_tts_tpu.data.dataset import frames_for_duration
-        from oron_tts_tpu.utils.memory import auto_gradient_checkpointing
+        from oron_tts_tpu.utils.memory import (
+            auto_gradient_checkpointing,
+            worst_case_padded_frames,
+        )
 
+        max_clip = frames_for_duration(
+            config.get("max_duration_s", 30.0), sample_rate, hop_length,
+        )
         if batch_size_type == "frame":
-            global_frames = int(config.get("frames_threshold", 6000))
+            # the decision must see what the step really compiles at: the
+            # collator pads rows to batch_multiple and T to pad_to_multiple,
+            # which can exceed the raw frame budget by 1.4-8x
+            global_frames = worst_case_padded_frames(
+                int(config.get("frames_threshold", 6000)), max_clip,
+                row_multiple=collator.pad_batch_to_multiple,
+                t_multiple=pad_to_multiple,
+                max_samples=int(config.get("max_samples", 0)),
+                min_clip_frames=frames_for_duration(
+                    config.get("min_duration_s", 1.0),
+                    sample_rate, hop_length,
+                ),
+            )
         else:
-            global_frames = batch_size * frames_for_duration(
-                config.get("max_duration_s", 30.0),
-                sample_rate, hop_length,
+            rows = -(-batch_size // collator.pad_batch_to_multiple
+                     ) * collator.pad_batch_to_multiple
+            global_frames = rows * (
+                -(-max_clip // pad_to_multiple) * pad_to_multiple
             )
         per_chip = -(-global_frames // max(dp_size, 1))
         config["gradient_checkpointing"] = auto_gradient_checkpointing(

@@ -227,6 +227,15 @@ class TTSDataset:
                 f"Audio too short at sample {idx}: "
                 f"{len(audio) / self.sample_rate:.2f}s < {self.min_duration_s:.2f}s"
             )
+        # enforce the max on the local/array paths too (from_hf_dataset
+        # filters up front) — an unbounded clip would otherwise compile a
+        # one-off huge XLA bucket and can OOM the chip; the loader's
+        # per-sample skip guard turns this into a logged skip
+        if len(audio) > self.max_duration_s * self.sample_rate:
+            raise ValueError(
+                f"Audio too long at sample {idx}: "
+                f"{len(audio) / self.sample_rate:.2f}s > {self.max_duration_s:.2f}s"
+            )
 
         mel = self._mel(audio)  # [n_mels, T]
         T = mel.shape[-1]

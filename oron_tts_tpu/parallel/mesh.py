@@ -62,17 +62,9 @@ def _spec_for_path(path: str) -> P:
 
 def param_specs(params: Any) -> Any:
     """PartitionSpec pytree matching ``params`` (DiT naming)."""
-    flat = jax.tree_util.tree_flatten_with_path(params)
-    specs = {}
-    for keypath, _ in flat[0]:
-        path = "/".join(
-            k.key if hasattr(k, "key") else str(k) for k in keypath
-        )
-        specs[path] = _spec_for_path(path)
-
     def assign(keypath, _leaf):
         path = "/".join(k.key if hasattr(k, "key") else str(k) for k in keypath)
-        return specs[path]
+        return _spec_for_path(path)
 
     return jax.tree_util.tree_map_with_path(assign, params)
 

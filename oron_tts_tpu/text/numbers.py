@@ -345,9 +345,13 @@ class NumberNormalizer:
     def normalize_text(self, text: str) -> str:  # noqa: C901
         spec = self._spec
 
-        # thousands separators: "1,234,567" / "1 234 567" → "1234567"
+        # thousands separators: "1,234,567" / "1 234 567" → "1234567".
+        # Digit-boundary guards (absent in the reference,
+        # number_norm.py:385) stop two ADJACENT independent numbers from
+        # merging: "2023 150 хүн" must stay two numbers, and "+976 1234"
+        # phone prefixes must not lose their grouping
         text = re.sub(
-            r"(\d{1,3})(?:[ ,](\d{3}))+",
+            r"(?<!\d)(\d{1,3})(?:[ ,](\d{3}))+(?!\d)",
             lambda m: m.group(0).replace(",", "").replace(" ", ""),
             text,
         )
@@ -471,9 +475,13 @@ class NumberNormalizer:
             if sym in text:
                 text = text.replace(sym, f" {words[spec.sym_idx]} ")
 
-        # number immediately before a Cyrillic word → attributive
+        # number immediately before a Cyrillic word → attributive.
+        # ө (U+04E9) and ү (U+04AF) sit OUTSIDE the а-я codepoint range;
+        # the reference's class (number_norm.py:555) omits them, so "3
+        # өдөр" fell through to a standalone cardinal — grammatically
+        # wrong for every ө/ү-initial noun (өдөр, өглөө, үнэ, үй)
         text = re.sub(
-            r"(\d+)(?=\s+[а-яёәғқңұһі])",
+            r"(\d+)(?=\s+[а-яёөүәғқңұһі])",
             lambda m: self.convert_attributive(int(m.group(1))),
             text,
         )

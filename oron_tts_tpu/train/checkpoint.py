@@ -180,6 +180,28 @@ class CheckpointManager:
         self._rotate()
         return path
 
+    def save_best(
+        self,
+        step: int,
+        params: Any,
+        opt_state: Any = None,
+        ema_params: Any = None,
+        loss: float | None = None,
+        extra_state: Mapping[str, Any] | None = None,
+    ) -> Path:
+        """Write ONLY ``f5tts_best.npz`` (no step file, no rotation).
+
+        Best-val epochs between ``save_interval`` boundaries would
+        otherwise be lost forever: the reference only materializes the
+        best checkpoint on interval epochs (trainer.py:397-399), so a
+        minimum at epoch 7 with save_interval=5 never reaches disk."""
+        meta: dict[str, Any] = {"step": step, "loss": loss}
+        if extra_state:
+            meta.update(extra_state)
+        trees = {"params": params, "opt": opt_state, "ema": ema_params}
+        save_pytree_npz(self.best_path(), trees, meta)
+        return self.best_path()
+
     def load(
         self,
         path: str | Path | None = None,

@@ -605,6 +605,11 @@ class F5Trainer:
 
         profile_at = self.config.get("profile_step")  # global step to trace
         profiling = False
+        # global_step only advances when a metrics window drains (up to
+        # drain_every steps at once), so gate the trace on a per-dispatch
+        # counter — otherwise the trace starts a window late and spans
+        # ~drain_every steps instead of 3
+        dispatched_step = self.global_step
         multihost = jax.process_count() > 1
         for accum_step, batch in enumerate(iterator):
             # host-side mel guard only in single-process runs: on a pod the
@@ -615,12 +620,12 @@ class F5Trainer:
             if not multihost and not np.isfinite(batch["mel"]).all():
                 self.logger.warning("Skipping batch due to non-finite mel values")
                 continue
-            # >= not ==: global_step advances in windows under deferred
-            # metric draining, so exact values can be skipped over
-            if profile_at is not None and not profiling and self.global_step >= profile_at:
+            # >= not ==: grad-accum microbatches don't advance the counter,
+            # so exact values can be skipped over
+            if profile_at is not None and not profiling and dispatched_step >= profile_at:
                 jax.profiler.start_trace(str(Path(self.log_dir) / "profile"))
                 profiling = True
-            elif profiling and self.global_step >= profile_at + 3:
+            elif profiling and dispatched_step >= profile_at + 3:
                 jax.profiler.stop_trace()
                 self.logger.info("Profiler trace written to %s/profile", self.log_dir)
                 profile_at, profiling = None, False
@@ -635,6 +640,7 @@ class F5Trainer:
                 step = self._get_train_step(sharded, step_rng)
                 self.state, metrics = step(self.state, sharded, step_rng)
                 pending.append((metrics, batch_size, mel_frames))
+                dispatched_step += 1
             else:
                 # fully on-device accumulation (no per-microbatch host sync,
                 # VERDICT r2 #6): grads/losses/finite-flags live in a donated
@@ -650,6 +656,7 @@ class F5Trainer:
                 self.state, metrics = self._apply_accum(self.state, accum_grads)
                 accum_grads = None
                 pending.append((metrics, batch_size, mel_frames))
+                dispatched_step += 1
 
             if len(pending) >= drain_every:
                 w_loss, w_updates = self._drain_pending(pending, pbar)
@@ -795,6 +802,21 @@ class F5Trainer:
             if self.epoch % save_interval == 0:
                 self.save_checkpoint(is_best=is_best, loss=avg_loss)
                 self._maybe_push_to_hub()
+            elif is_best and self.is_main_process:
+                # a best epoch between intervals must still reach disk —
+                # write f5tts_best.npz only (no step file, no rotation)
+                self.checkpoint_manager.save_best(
+                    step=self.global_step,
+                    params=self._relayout(self.state.params,
+                                          scan_blocks=False),
+                    opt_state=self._relayout(self.state.opt_state,
+                                             scan_blocks=False),
+                    ema_params=self._relayout(self.state.ema_params,
+                                              scan_blocks=False),
+                    loss=avg_loss,
+                    extra_state={"epoch": self.epoch,
+                                 "best_val": self._best_val},
+                )
 
         self.finish()
 

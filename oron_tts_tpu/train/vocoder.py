@@ -71,6 +71,21 @@ def vocoder_loss(
     return loss
 
 
+def guarded_update(tx, grads, opt_state, params, ok):
+    """Non-finite-guarded optimizer update: when ``ok`` is False the grads
+    are zeroed through tx.update (so internal counters stay consistent)
+    and the pre-update params/opt_state are kept."""
+    safe = jax.tree_util.tree_map(
+        lambda g: jnp.where(ok, g, jnp.zeros_like(g)), grads
+    )
+    updates, new_opt = tx.update(safe, opt_state, params)
+    new_params = optax.apply_updates(params, updates)
+    pick = functools.partial(
+        jax.tree_util.tree_map, lambda a, b: jnp.where(ok, a, b)
+    )
+    return pick(new_params, params), pick(new_opt, opt_state)
+
+
 def make_vocoder_train_step(vocoder: Any, tx: optax.GradientTransformation,
                             mel_cfg: MelConfig):
     @jax.jit
@@ -81,15 +96,8 @@ def make_vocoder_train_step(vocoder: Any, tx: optax.GradientTransformation,
         loss, grads = jax.value_and_grad(loss_fn)(params)
         gnorm = optax.global_norm(grads)
         ok = jnp.isfinite(loss) & jnp.isfinite(gnorm)
-        safe = jax.tree_util.tree_map(
-            lambda g: jnp.where(ok, g, jnp.zeros_like(g)), grads
-        )
-        updates, new_opt = tx.update(safe, opt_state, params)
-        new_params = optax.apply_updates(params, updates)
-        pick = functools.partial(
-            jax.tree_util.tree_map, lambda a, b: jnp.where(ok, a, b)
-        )
-        return pick(new_params, params), pick(new_opt, opt_state), loss, gnorm
+        params, opt_state = guarded_update(tx, grads, opt_state, params, ok)
+        return params, opt_state, loss, gnorm
 
     return step
 
@@ -117,15 +125,8 @@ def make_vocoder_train_step_wav(
         loss, grads = jax.value_and_grad(loss_fn)(params)
         gnorm = optax.global_norm(grads)
         ok = jnp.isfinite(loss) & jnp.isfinite(gnorm)
-        safe = jax.tree_util.tree_map(
-            lambda g: jnp.where(ok, g, jnp.zeros_like(g)), grads
-        )
-        updates, new_opt = tx.update(safe, opt_state, params)
-        new_params = optax.apply_updates(params, updates)
-        pick = functools.partial(
-            jax.tree_util.tree_map, lambda a, b: jnp.where(ok, a, b)
-        )
-        return pick(new_params, params), pick(new_opt, opt_state), loss, gnorm
+        params, opt_state = guarded_update(tx, grads, opt_state, params, ok)
+        return params, opt_state, loss, gnorm
 
     return step
 
@@ -165,6 +166,16 @@ def pack_corpus(
         offsets.append(pos)
         max_starts.append(len(a) - crop_len)
         pos += len(a)
+    if pos >= np.iinfo(np.int32).max:
+        # crop starts cross the jit boundary as int32 (x64 is disabled);
+        # positions past 2^31 would silently wrap negative and
+        # dynamic_slice would clamp them — wrong crops, no error. ~24.8 h
+        # of 24 kHz audio; shard the corpus across supersteps instead.
+        raise ValueError(
+            f"packed vocoder corpus has {pos} samples, which overflows the "
+            f"int32 crop indices used on device; split the corpus into "
+            f"chunks under {np.iinfo(np.int32).max} samples"
+        )
     return (np.concatenate(pieces), np.asarray(offsets, np.int64),
             np.asarray(max_starts, np.int64))
 
@@ -202,16 +213,10 @@ def make_vocoder_superstep(
             loss, grads = jax.value_and_grad(loss_fn)(params)
             gnorm = optax.global_norm(grads)
             ok = jnp.isfinite(loss) & jnp.isfinite(gnorm)
-            safe = jax.tree_util.tree_map(
-                lambda g: jnp.where(ok, g, jnp.zeros_like(g)), grads
+            params, opt_state = guarded_update(
+                tx, grads, opt_state, params, ok
             )
-            updates, new_opt = tx.update(safe, opt_state, params)
-            new_params = optax.apply_updates(params, updates)
-            pick = functools.partial(
-                jax.tree_util.tree_map, lambda a, b: jnp.where(ok, a, b)
-            )
-            return ((pick(new_params, params), pick(new_opt, opt_state)),
-                    (loss, gnorm))
+            return (params, opt_state), (loss, gnorm)
 
         (params, opt_state), (losses, gnorms) = jax.lax.scan(
             one, (params, opt_state), starts
@@ -303,16 +308,7 @@ def make_gan_superstep(
     are (g_loss, d_loss, mel_l1, g_gnorm).
     """
 
-    def _guarded(tx, grads, opt_state, params, ok):
-        safe = jax.tree_util.tree_map(
-            lambda g: jnp.where(ok, g, jnp.zeros_like(g)), grads
-        )
-        updates, new_opt = tx.update(safe, opt_state, params)
-        new_params = optax.apply_updates(params, updates)
-        pick = functools.partial(
-            jax.tree_util.tree_map, lambda a, b: jnp.where(ok, a, b)
-        )
-        return pick(new_params, params), pick(new_opt, opt_state)
+    _guarded = guarded_update
 
     @jax.jit
     def superstep(g_params, g_opt, d_params, d_opt, flat, starts):

@@ -50,6 +50,45 @@ def estimate_train_hbm_bytes(
     return int(state + grads + frames * act_per_frame)
 
 
+def worst_case_padded_frames(
+    frames_threshold: int,
+    max_clip_frames: int,
+    row_multiple: int = 1,
+    t_multiple: int = 64,
+    max_samples: int = 0,
+    min_clip_frames: int = 1,
+) -> int:
+    """Largest rows×T a frame-budget batch can REALLY occupy after padding.
+
+    The sampler bounds the sum of true frames by ``frames_threshold``, but
+    the collator rounds the batch axis up to ``row_multiple`` (8 on the
+    frame path, × the data-mesh size) and T up to ``t_multiple`` — e.g. 17
+    clips of 2816 frames (47.9k ≤ 48k budget) collate to 24 rows × 2816 =
+    67.6k frames, 1.4× the budget. Feeding the raw threshold to the remat
+    chooser therefore underestimates HBM and OOMs; this sweeps the batch
+    row count and returns the padded worst case (sorted packing makes rows
+    within a batch similar lengths, so T ≈ threshold/(rows-1), capped by
+    the longest clip).
+    """
+    def round_up(n: int, m: int) -> int:
+        return -(-n // m) * m
+
+    min_clip_frames = max(1, min_clip_frames)
+    worst = round_up(max_clip_frames, t_multiple) * row_multiple  # r = 1
+    # the sampler can't pack more rows than the budget divided by the
+    # shortest admissible clip (dataset min_duration_s)
+    r_cap = frames_threshold // min_clip_frames + 1
+    if max_samples:
+        r_cap = min(r_cap, max_samples)
+    r = 2
+    while r <= r_cap:
+        t = min(max_clip_frames,
+                max(min_clip_frames, frames_threshold // (r - 1)))
+        worst = max(worst, round_up(r, row_multiple) * round_up(t, t_multiple))
+        r += 1
+    return worst
+
+
 def auto_gradient_checkpointing(
     config: dict[str, Any], max_frames_per_chip: int,
     hbm_bytes: int | None = None,

@@ -41,8 +41,14 @@ def _layernorm(sd: Mapping[str, Any], key: str) -> dict[str, np.ndarray]:
 
 
 def strip_compiled_prefix(state_dict: Mapping[str, Any]) -> dict[str, Any]:
-    """Normalize torch.compile's `._orig_mod.` key decoration away."""
-    return {k.replace(_ORIG_MOD, "."): v for k, v in state_dict.items()}
+    """Normalize torch.compile's `._orig_mod.` key decoration away.
+
+    A TOP-LEVEL compiled module prefixes keys with a leading "_orig_mod."
+    (no dot before it), which the mid-key replace alone would miss."""
+    return {
+        k.removeprefix("_orig_mod.").replace(_ORIG_MOD, "."): v
+        for k, v in state_dict.items()
+    }
 
 
 def strip_prefix(state_dict: Mapping[str, Any], prefix: str) -> dict[str, Any]:

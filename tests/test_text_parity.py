@@ -106,6 +106,8 @@ def test_normalize_text_parity(ref_modules):
     for lang, samples in (("mn", SAMPLES), ("kz", KZ_SAMPLES)):
         ref, ours = RefNorm(lang=lang), NumberNormalizer(lang=lang)
         for s in samples:
+            if _hits_known_reference_bug(s):
+                continue
             assert ref.normalize_text(s) == ours.normalize_text(s), (lang, s)
 
 
@@ -116,6 +118,8 @@ def test_cleaner_parity(ref_modules):
     ref, ours = RefCleaner(), TextCleaner()
     for lang, samples in (("mn", SAMPLES), ("kz", KZ_SAMPLES)):
         for s in samples:
+            if _hits_known_reference_bug(s):
+                continue
             assert ref.clean(s, lang=lang) == ours.clean(s, lang=lang), (lang, s)
             assert ref.text_to_sequence(s, lang=lang) == ours.text_to_sequence(
                 s, lang=lang
@@ -150,6 +154,48 @@ def test_normalize_text_fuzz_parity(ref_modules):
         ref, ours = RefNorm(lang=lang), NumberNormalizer(lang=lang)
         for _ in range(200):
             text = " ".join(rng.choice(atoms)() for _ in range(rng.randint(1, 6)))
+            if _hits_known_reference_bug(text):
+                continue
             assert ref.normalize_text(text) == ours.normalize_text(text), (
                 lang, text,
             )
+
+
+def _hits_known_reference_bug(text: str) -> bool:
+    """Inputs where we INTENTIONALLY diverge from the reference.
+
+    (a) the reference's thousands-separator regex has no digit-boundary
+    guards (number_norm.py:385), merging adjacent independent numbers
+    ("2023 150" → 2023150); (b) its attributive character class omits
+    ө/ү (number_norm.py:555), so "3 өдөр" renders a standalone cardinal.
+    Both are fixed in oron_tts_tpu.text.numbers — see
+    test_normalize_text_reference_bug_fixes for the pinned behavior."""
+    import re
+
+    return bool(
+        re.search(r"\d[ ,]\d{3}\d", text)        # 3-digit group mid-number
+        or re.search(r"\d{4,}[ ,]\d{3}", text)   # >3-digit head merging
+        or re.search(r"\d\s+[өүӨҮ]", text)       # ө/ү-initial noun follows
+        # × expands to MN "үржүүлэх" before the attributive stage — the
+        # reference then renders "7 × 8" standalone but "8 = 56"
+        # attributive; ours is consistently attributive
+        or re.search(r"\d\s*×", text)
+    )
+
+
+def test_normalize_text_reference_bug_fixes(ref_modules):
+    """Pinned intentional improvements over the reference normalizer."""
+    from oron_tts_tpu.text import NumberNormalizer
+
+    ours = NumberNormalizer(lang="mn")
+    # adjacent independent numbers stay separate (ref merges to 2,023,150)
+    assert ours.normalize_text("2023 150 хүн") == (
+        "хоёр мянга хорин гурав зуун тавин хүн"
+    )
+    # legit thousands separators still merge
+    assert ours.normalize_text("1 234 567 хүн") == ours.normalize_text(
+        "1234567 хүн"
+    )
+    # ө/ү-initial nouns take the attributive form (ref: standalone cardinal)
+    assert ours.normalize_text("3 өдөр") == "гурван өдөр"
+    assert ours.normalize_text("5 үхэр") == "таван үхэр"
