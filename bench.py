@@ -36,7 +36,7 @@ if str(REPO_ROOT) not in sys.path:
 TARGET_RTF = 0.05
 
 
-def random_params_like(module, shapes, seed: int = 0, scale: float = 0.02):
+def random_params_like(shapes, seed: int = 0, scale: float = 0.02):
     """On-device random params for a flax shape tree (no host gen/upload).
 
     One jitted generator materializes the whole tree on the device:
@@ -156,19 +156,17 @@ def bench_synthesis(jax, jnp) -> float:
     T = bucket
     text = jax.random.randint(k1, (1, T), 0, 65, dtype=jnp.int32)
     # Cold-start-honest param creation: flax init on this backend eagerly
-    # runs a Base forward through the tunnel (~95 s) and per-leaf fetches of
-    # lazy jit(init) outputs cost seconds EACH, so params are generated
-    # host-side from eval_shape and uploaded in one device_put. Randomized
-    # (zero-init proj_out would make the ODE trivial); "scale" leaves get
-    # ones so LayerNorms pass signal.
+    # runs a Base forward through the tunnel (~95 s), so params are
+    # generated ON DEVICE by one jitted generator over the eval_shape tree
+    # (see random_params_like). Randomized (zero-init proj_out would make
+    # the ODE trivial); "scale" leaves get ones so LayerNorms pass signal.
     variables = random_params_like(
-        model, jax.eval_shape(
+        jax.eval_shape(
             model.init, k2, jnp.zeros((1, 64, 100)), jnp.zeros((1, 64, 100)),
             jnp.zeros((1, 64), jnp.int32), jnp.zeros((1,)),
         ),
     )
     voc_vars = random_params_like(
-        vocoder,
         jax.eval_shape(vocoder.init, k2, jnp.zeros((1, 100, 64), jnp.float32)),
     )
 
@@ -241,7 +239,7 @@ def bench_serving(jax, jnp) -> dict:
     }
     model = F5TTS(F5Config.from_dict(cfg), dtype=jnp.bfloat16)
     model.variables = random_params_like(
-        model.backbone, jax.eval_shape(
+        jax.eval_shape(
             model.backbone.init, jax.random.PRNGKey(0),
             jnp.zeros((1, 64, 100)), jnp.zeros((1, 64, 100)),
             jnp.zeros((1, 64), jnp.int32), jnp.zeros((1,)),
@@ -249,7 +247,6 @@ def bench_serving(jax, jnp) -> dict:
     )
     vocoder = VocosDecoder(dtype=jnp.bfloat16)
     voc_vars = random_params_like(
-        vocoder,
         jax.eval_shape(vocoder.init, jax.random.PRNGKey(0),
                        jnp.zeros((1, 100, 64), jnp.float32)),
     )
@@ -362,7 +359,7 @@ def bench_train_step(jax, jnp) -> dict:
     rng = jax.random.PRNGKey(0)
     k1, k2, k3 = jax.random.split(rng, 3)
     variables = random_params_like(
-        model, jax.eval_shape(
+        jax.eval_shape(
             model.init, k1, jnp.zeros((1, 64, 100)), jnp.zeros((1, 64, 100)),
             jnp.zeros((1, 64), jnp.int32), jnp.zeros((1,)),
         ), seed=1,

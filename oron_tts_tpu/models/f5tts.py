@@ -72,10 +72,15 @@ def split_text_for_synthesis(text: str, max_chars: int) -> list[str]:
     return chunks
 
 
-def _chunk_seeds(seed: int | None, n: int) -> list[int | None]:
+def _chunk_seeds(seed: int | None, n: int) -> list[int]:
     """The serial chunk-seed rule (reference f5tts.py:297-320): chunk idx
-    gets seed+idx, or the default draw everywhere when seed is None."""
-    return [None] * n if seed is None else [seed + i for i in range(n)]
+    gets seed+idx. ``seed=None`` uses base 0 — each chunk still gets a
+    DISTINCT key (the reference draws fresh noise per chunk when
+    unseeded), and the rule matches what a serving batcher pins unseeded
+    requests to (scripts/serve.py), so batched and solo unseeded
+    synthesis produce identical audio."""
+    base = 0 if seed is None else seed
+    return [base + i for i in range(n)]
 
 
 def concat_with_pause(

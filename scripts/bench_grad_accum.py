@@ -51,7 +51,7 @@ def main() -> None:
     rng = jax.random.PRNGKey(0)
     k1, k2, k3 = jax.random.split(rng, 3)
     variables = random_params_like(
-        model, jax.eval_shape(
+        jax.eval_shape(
             model.init, k1, jnp.zeros((1, 64, 100)), jnp.zeros((1, 64, 100)),
             jnp.zeros((1, 64), jnp.int32), jnp.zeros((1,)),
         ), seed=1,

@@ -7,7 +7,7 @@ POST /synthesize_stream  same body → chunked audio/wav: WAV header first,
                    (time-to-first-audio ≈ one chunk group's solve)
 POST /synthesize_batch {"texts": [...], ...}           → multipart-free JSON
                    {"wavs_base64": [...], "sample_rate": 24000}
-GET  /healthz → {"status": "ok", "model_steps": N}
+GET  /healthz → {"status": "ok", "merged_batches": N, "params": N[, "mesh"]}
 
 Single-process, thread-pooled. Concurrent /synthesize requests are merged
 by a micro-batcher: requests with identical solver parameters that arrive
@@ -94,10 +94,13 @@ class MicroBatcher:
         for key in list(self._queues):
             reqs = self._queues[key]
             batch, rest = reqs[: self._max_batch], reqs[self._max_batch:]
+            # always delete THEN re-insert leftovers: reassigning an
+            # existing dict key keeps its insertion position, so a key
+            # with a backlog over max_batch would stay first and starve
+            # every other parameter key
+            del self._queues[key]
             if rest:
                 self._queues[key] = rest
-            else:
-                del self._queues[key]
             if batch:
                 return key, batch
         return None, None
@@ -182,7 +185,11 @@ class Handler(BaseHTTPRequestHandler):
                 sway_sampling_coef=req.get("sway_sampling_coef", -1.0),
                 speed=float(req.get("speed", 1.0)),
             )
+            # coerce here so a string/float seed is a 400 like every other
+            # malformed parameter, not a 500 from deep inside PRNGKey
             seed = req.get("seed")
+            if seed is not None:
+                seed = int(seed)
         except (TypeError, ValueError) as exc:
             self._json(400, {"error": f"invalid parameter: {exc}"})
             return
@@ -339,10 +346,18 @@ def main() -> None:
     if not args.no_batching:
         _batcher = MicroBatcher(_model, max_batch=args.max_batch)
     if args.warmup:
-        # warm the cache entry real requests will hit: default steps=32 on
-        # the full 120-char chunk bucket (the sampler cache keys on both)
+        # warm the EXACT path real requests take. With batching enabled,
+        # /synthesize rides the micro-batcher → synthesize_batch →
+        # _dispatch_chunk_groups, whose jit avals (stacked [B,2] keys,
+        # int32 durations) differ from the solo segment path — warming the
+        # solo path alone would leave the first live request to pay the
+        # full sampler compile. Default steps=32 on the full 120-char
+        # chunk bucket (the sampler cache keys on both).
         print("[serve] warmup synthesis (compiles the default request shape)...")
-        _model.synthesize("а" * 120, n_steps=32)
+        if _batcher is not None:
+            _model.synthesize_batch(["а" * 120], n_steps=32, seed=0)
+        else:
+            _model.synthesize("а" * 120, n_steps=32)
         print("[serve] warmup done")
 
     server = ThreadingHTTPServer((args.host, args.port), Handler)

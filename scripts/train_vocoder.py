@@ -110,14 +110,17 @@ def main() -> None:
     cm = CheckpointManager(args.checkpoint_dir, model_name="vocos",
                            max_checkpoints=3)
     start_step = 0
+    info: dict = {}
     if args.resume:
         info = cm.load()
         if info.get("params") is not None:
             params = info["params"]
-            if info.get("opt") is not None:
-                # restore Adam moments + schedule position (the adamw count
-                # drives the cosine schedule) — without this a resume would
-                # retrain at peak LR with zeroed moments
+            # restore Adam moments + schedule position (the adamw count
+            # drives the cosine schedule) — without this a resume would
+            # retrain at peak LR with zeroed moments. GAN-stage checkpoints
+            # carry the GAN generator optimizer instead (stage tag below);
+            # those moments belong to g_tx2, not the MR-STFT tx
+            if info.get("opt") is not None and info.get("stage") != "gan":
                 opt_state = jax.tree_util.tree_unflatten(
                     jax.tree_util.tree_structure(opt_state),
                     jax.tree_util.tree_leaves(info["opt"]),
@@ -169,6 +172,13 @@ def main() -> None:
         g_tx2 = optax.chain(optax.clip_by_global_norm(1.0),
                             optax.adamw(args.learning_rate, b1=0.8, b2=0.99))
         g_opt2 = g_tx2.init(params)
+        if info.get("stage") == "gan" and info.get("opt") is not None:
+            # resuming a GAN-stage run: continue the generator's adversarial
+            # Adam moments instead of silently re-zeroing them
+            g_opt2 = jax.tree_util.tree_unflatten(
+                jax.tree_util.tree_structure(g_opt2),
+                jax.tree_util.tree_leaves(info["opt"]),
+            )
         gan_step_fn = make_gan_superstep(
             vocoder, disc, g_tx2, d_tx, mel_cfg, crop_len, k_steps
         )
@@ -185,7 +195,10 @@ def main() -> None:
 
         step = start_step
         while step < args.steps:
-            k = min(k_steps, args.steps - step)
+            # the jitted superstep always executes a FULL k_steps window;
+            # count what actually ran (--steps rounds up to a whole window)
+            # so checkpoint step labels and the schedule position stay honest
+            k = k_steps
             params, g_opt2, d_params, d_opt, metrics = gan_step_fn(
                 params, g_opt2, d_params, d_opt, flat, sample_starts()
             )
@@ -200,14 +213,16 @@ def main() -> None:
                       f"gnorm={m[-1, 3]:.2f} | {rate:.1f} it/s", flush=True)
             if step % args.save_interval < k or step >= args.steps:
                 m = np.asarray(metrics)[:k]
-                cm.save(step, params, loss=float(m[-1, 0]), config=voc_config)
+                cm.save(step, params, opt_state=g_opt2,
+                        loss=float(m[-1, 0]), config=voc_config,
+                        extra_state={"stage": "gan"})
                 d_cm.save(step, d_params, opt_state=d_opt)
         print(f"Done. Use: infer.py --vocoder {cm.latest_checkpoint()}")
         return
 
     step = start_step
     while step < args.steps:
-        k = min(k_steps, args.steps - step)
+        k = k_steps  # full window per dispatch — see the GAN loop note
         params, opt_state, losses, gnorms = step_fn(
             params, opt_state, flat, sample_starts()
         )
