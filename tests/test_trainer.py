@@ -329,3 +329,38 @@ def test_lr_schedule_shape():
     assert float(sched(100)) == pytest.approx(1e-6, rel=0.1)
     # monotone decay after warmup
     assert float(sched(50)) < float(sched(11))
+
+
+def test_best_checkpoint_written_between_save_intervals(tmp_path):
+    """A best-val epoch that does not land on a save_interval boundary must
+    still materialize f5tts_best.npz (the reference loses it forever)."""
+    from oron_tts_tpu.train.trainer import F5Trainer
+
+    ds = _synthetic_dataset(n=3)
+    collator = TTSCollator(pad_to_multiple=64)
+    loader = DataLoader(ds, FixedBatchSampler(len(ds), 3, seed=1), collator,
+                        num_workers=0)
+    val_loader = DataLoader(ds, FixedBatchSampler(len(ds), 3, shuffle=False,
+                                                  drop_last=False),
+                            collator, num_workers=0)
+    model = F5TTS.from_config(F5Config.from_dict(TINY_CFG))
+    trainer = F5Trainer(
+        config=TINY_CFG, model=model, train_loader=loader,
+        val_loader=val_loader, log_dir=str(tmp_path / "logs"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    # epoch 1 of 1 with save_interval=5: 1 % 5 != 0, no step checkpoint —
+    # but the (necessarily best) first validation must write the best file
+    trainer.train(num_epochs=1, save_interval=5)
+    ckpt = tmp_path / "ckpt"
+    assert (ckpt / "f5tts_best.npz").exists()
+    assert not list(ckpt.glob("f5tts_step_*.npz"))
+    # the best file resumes (carries step/epoch/best_val and param trees)
+    model2 = F5TTS.from_config(F5Config.from_dict(TINY_CFG))
+    trainer2 = F5Trainer(
+        config=TINY_CFG, model=model2, train_loader=loader, val_loader=None,
+        log_dir=str(tmp_path / "logs2"), checkpoint_dir=str(ckpt),
+    )
+    trainer2.load_checkpoint(load_best=True)
+    assert trainer2.epoch == 1
+    assert np.isfinite(trainer2._best_val)
