@@ -165,6 +165,28 @@ def test_error_paths(server_port):
     assert status == 404
 
 
+def test_take_batch_rotates_busy_keys():
+    """A key whose backlog exceeds max_batch must rotate to the back of
+    the queue dict, or sustained same-key load starves other keys."""
+    b = serve.MicroBatcher.__new__(serve.MicroBatcher)  # no dispatcher thread
+    b._max_batch = 2
+    reqs_a = [serve._Request(f"a{i}", 0) for i in range(5)]
+    req_b = serve._Request("b", 0)
+    b._queues = {("k", "a"): list(reqs_a), ("k", "b"): [req_b]}
+
+    key1, batch1 = b._take_batch()
+    assert key1 == ("k", "a") and batch1 == reqs_a[:2]
+    # key A still has backlog, but key B must be served next
+    key2, batch2 = b._take_batch()
+    assert key2 == ("k", "b") and batch2 == [req_b]
+    key3, batch3 = b._take_batch()
+    assert key3 == ("k", "a") and batch3 == reqs_a[2:4]
+    # drained keys vanish (no unbounded growth from stale param combos)
+    b._take_batch()
+    assert b._take_batch() == (None, None)
+    assert b._queues == {}
+
+
 def test_batcher_isolates_bad_request(server_port):
     """A request that fails inside a merged solve must not fail its
     co-batched neighbors: the batcher retries survivors individually."""
