@@ -7,7 +7,9 @@ POST /synthesize_stream  same body → chunked audio/wav: WAV header first,
                    (time-to-first-audio ≈ one chunk group's solve)
 POST /synthesize_batch {"texts": [...], ...}           → multipart-free JSON
                    {"wavs_base64": [...], "sample_rate": 24000}
-GET  /healthz → {"status": "ok", "merged_batches": N, "params": N[, "mesh"]}
+GET  /healthz → {"status": "ok", "merged_batches": N, "params": N,
+                 "requests": N, "latency_p50_ms": x, "latency_p95_ms": x
+                 [, "mesh"]}  (latency keys appear after the first request)
 
 Single-process, thread-pooled. Concurrent /synthesize requests are merged
 by a micro-batcher: requests with identical solver parameters that arrive
@@ -34,6 +36,10 @@ _model = None
 _model_lock = threading.Lock()
 _batcher = None
 _meta = {}
+# rolling per-request wall-time window (deque.append is GIL-atomic);
+# /healthz reports p50/p95 so a deploy can watch serving latency without
+# external instrumentation
+_latencies_s: "deque[float]" = __import__("collections").deque(maxlen=512)
 
 
 def _wav_bytes(wav, sample_rate: int) -> bytes:
@@ -165,7 +171,18 @@ class Handler(BaseHTTPRequestHandler):
     def do_GET(self):
         if self.path == "/healthz":
             merged = _batcher.merged_batches if _batcher else 0
-            self._json(200, {"status": "ok", "merged_batches": merged, **_meta})
+            stats = {}
+            lat = sorted(_latencies_s)
+            if lat:
+                stats = {
+                    "requests": len(lat),
+                    "latency_p50_ms": round(lat[len(lat) // 2] * 1e3, 1),
+                    "latency_p95_ms": round(
+                        lat[min(len(lat) - 1, int(len(lat) * 0.95))] * 1e3, 1
+                    ),
+                }
+            self._json(200, {"status": "ok", "merged_batches": merged,
+                             **stats, **_meta})
         else:
             self._json(404, {"error": "not found"})
 
@@ -240,12 +257,18 @@ class Handler(BaseHTTPRequestHandler):
         with other requests' rows). A seeded request reproduces its solo
         synthesize() output; an unseeded one is pinned to seed 0 (chunk c
         then draws from PRNGKey(0+c) — same rule a seeded request uses)."""
-        if _batcher is not None:
-            return _batcher.submit(
-                text, 0 if seed is None else int(seed), common,
-            )
-        with _model_lock:
-            return _model.synthesize(text=text, seed=seed, **common)
+        import time
+
+        t0 = time.perf_counter()
+        try:
+            if _batcher is not None:
+                return _batcher.submit(
+                    text, 0 if seed is None else int(seed), common,
+                )
+            with _model_lock:
+                return _model.synthesize(text=text, seed=seed, **common)
+        finally:
+            _latencies_s.append(time.perf_counter() - t0)
 
     def _stream(self, text: str, seed, common: dict) -> None:
         from oron_tts_tpu.data.wav import pcm16_bytes, wav_stream_header
