@@ -22,8 +22,6 @@ def process_dataset(
     sample_rate: int = 24000,
     start_index: int = 0,
 ) -> list[dict]:
-    import numpy as np
-
     from oron_tts_tpu.data import wav as wavio
     from oron_tts_tpu.data.denoiser import AudioDenoiser
     from oron_tts_tpu.text import TextCleaner

@@ -13,7 +13,7 @@ number-before-Cyrillic-noun (attributive), then bare cardinals.
 from __future__ import annotations
 
 import re
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Final
 
 # A pair is (standalone, attributive). Kazakh pairs repeat the same word.

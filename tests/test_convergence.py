@@ -5,7 +5,6 @@ eval-mode CFM loss (fixed t/span/noise) must fall well below its initial
 value, proving the optimizer/EMA/guard wiring trains the DiT for real.
 """
 
-import jax
 import numpy as np
 
 from oron_tts_tpu.config import F5Config
