@@ -59,28 +59,35 @@ def test_value_matches_forward_only():
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
 
 
-def test_dit_block_grads_with_flash():
-    """Gradients flow through a DiT block using the trainable flash path."""
-    import flax.linen as nn
-
+def test_attention_grads_with_flash_match_einsum():
+    """Gradients through Attention with attn_impl='flash' (the classic
+    custom-VJP kernel path, interpret mode on CPU) match the einsum
+    implementation — not just finiteness: a silent wrong-gradient kernel
+    must fail this."""
     from oron_tts_tpu.models.layers import Attention
-
-    class WithFlash(Attention):
-        pass
 
     rng = np.random.default_rng(2)
     B, T, dim = 2, 128, 64
     x = rng.standard_normal((B, T, dim)).astype(np.float32)
     lens = np.array([128, 90])
     mask = np.arange(T)[None, :] < lens[:, None]
+    probe = rng.standard_normal((B, T, dim)).astype(np.float32)
 
-    attn = Attention(dim=dim, heads=2, dim_head=32, dropout=0.0)
-    variables = attn.init(jax.random.PRNGKey(0), x, mask=mask)
+    ein = Attention(dim=dim, heads=2, dim_head=32, dropout=0.0,
+                    attn_impl="einsum")
+    variables = ein.init(jax.random.PRNGKey(0), x, mask=mask)
+    fla = Attention(dim=dim, heads=2, dim_head=32, dropout=0.0,
+                    attn_impl="flash")
 
-    def loss(params):
-        out = attn.apply({"params": params}, x, mask=mask)
-        return jnp.mean(out**2)
+    def loss(params, module):
+        out = module.apply({"params": params}, x, mask=mask)
+        # linear probe: non-trivial gradient even at init
+        return jnp.sum(out * probe)
 
-    grads = jax.grad(loss)(variables["params"])
-    leaves = jax.tree_util.tree_leaves(grads)
-    assert all(np.isfinite(np.asarray(g)).all() for g in leaves)
+    g_ein = jax.grad(loss)(variables["params"], ein)
+    g_fla = jax.grad(loss)(variables["params"], fla)
+    for a, b in zip(jax.tree_util.tree_leaves(g_ein),
+                    jax.tree_util.tree_leaves(g_fla)):
+        np.testing.assert_allclose(
+            np.asarray(b), np.asarray(a), rtol=2e-4, atol=2e-4
+        )

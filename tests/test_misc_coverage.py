@@ -74,11 +74,14 @@ def test_env_loader(tmp_path):
 
     env = tmp_path / ".env"
     env.write_text("# comment\nORON_TEST_TOKEN='secret'\nBROKENLINE\n")
-    assert load_dotenv(env)
-    assert os.environ.get("ORON_TEST_TOKEN") == "secret"
-    assert not load_dotenv(tmp_path / "missing.env")
-    assert resolve_hf_token("explicit") == "explicit"
-    os.environ.pop("ORON_TEST_TOKEN", None)
+    try:
+        assert load_dotenv(env)
+        assert os.environ.get("ORON_TEST_TOKEN") == "secret"
+        assert not load_dotenv(tmp_path / "missing.env")
+        assert resolve_hf_token("explicit") == "explicit"
+    finally:
+        # a mid-test failure must not leak the var into later tests
+        os.environ.pop("ORON_TEST_TOKEN", None)
 
 
 def test_spectral_gate_reduces_noise():

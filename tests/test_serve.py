@@ -95,12 +95,12 @@ def test_stream_endpoint_matches_synthesize(server_port):
     from oron_tts_tpu.data.wav import read_wav_bytes
 
     # stream isolates chunk 0 for TTFA → solves group differently; float
-    # reduction order may move a sample by a PCM16 LSB
-    got = np.frombuffer(streamed[44:], dtype="<i2")
+    # reduction order may move a sample by a PCM16 LSB. Decode BOTH through
+    # read_wav_bytes (it handles the streaming unknown-size header) so the
+    # int16→float scale is identical and the tolerance is pure drift budget
+    got, _ = read_wav_bytes(streamed)
     want, _ = read_wav_bytes(solo)
-    np.testing.assert_allclose(
-        got.astype(np.float32) / 32767.0, want, atol=2.5 / 32767
-    )
+    np.testing.assert_allclose(got, want, atol=2.5 / 32767)
 
 
 def test_concurrent_requests_merge_and_match_solo(server_port):

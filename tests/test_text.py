@@ -78,9 +78,12 @@ def test_kz_cardinals():
     assert n.convert(25) == "жиырма бес"
     assert n.convert(100) == "жүз"
     assert n.convert(1000) == "мың"
-    assert n.convert_ordinal(5) == "бесінші".replace("бесінші", "беснші") or True
-    # kazakh ordinal: cardinal + suffix attached (no stem mutation modeled)
-    assert n.convert_ordinal(2) == "екінші".replace("екінші", "екінші") or True
+    # kazakh ordinal = cardinal + attached suffix, NO stem mutation — the
+    # reference's model (standard Kazakh would be "бесінші"; parity with
+    # the reference is pinned exhaustively in test_text_parity)
+    assert n.convert_ordinal(5) == "беснші"
+    assert n.convert_ordinal(2) == "екінші"
+    assert n.convert_ordinal(20) == "жиырманші"
 
 
 def test_normalize_text_cases_mn():
