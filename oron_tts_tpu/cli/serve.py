@@ -1,0 +1,386 @@
+"""Minimal production HTTP server for OronTTS-TPU synthesis.
+
+POST /synthesize  {"text": "...", "lang": "mn", "steps": 32, "seed": 0,
+                   "cfg_strength": 2.0, "speed": 1.0}  → audio/wav bytes
+POST /synthesize_stream  same body → chunked audio/wav: WAV header first,
+                   then PCM16 pieces as each text chunk's solve drains
+                   (time-to-first-audio ≈ one chunk group's solve)
+POST /synthesize_batch {"texts": [...], ...}           → multipart-free JSON
+                   {"wavs_base64": [...], "sample_rate": 24000}
+GET  /healthz → {"status": "ok", "merged_batches": N, "params": N,
+                 "requests": N, "latency_p50_ms": x, "latency_p95_ms": x
+                 [, "mesh"]}  (latency keys appear after the first request)
+
+Single-process, thread-pooled. Concurrent /synthesize requests are merged
+by a micro-batcher: requests with identical solver parameters that arrive
+while the device is busy ride ONE length-grouped CFG Euler solve
+(F5TTS.synthesize_batch). Per-request PRNG seeds make each merged
+request's audio identical to its solo synthesis (the determinism contract
+in models/f5tts.py), so batching changes latency, never outputs. Warmup
+pre-compiles the default chunk bucket at startup.
+"""
+
+import argparse
+import base64
+import json
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+_model = None
+_model_lock = threading.Lock()
+_batcher = None
+_meta = {}
+# rolling per-request wall-time window (deque.append is GIL-atomic);
+# /healthz reports p50/p95 so a deploy can watch serving latency without
+# external instrumentation
+_latencies_s: "deque[float]" = __import__("collections").deque(maxlen=512)
+
+
+def _wav_bytes(wav, sample_rate: int) -> bytes:
+    from oron_tts_tpu.data.wav import wav_bytes
+
+    return wav_bytes(wav, sample_rate)
+
+
+class _Request:
+    __slots__ = ("text", "seed", "done", "result", "error")
+
+    def __init__(self, text: str, seed: int) -> None:
+        self.text = text
+        self.seed = seed
+        self.done = threading.Event()
+        self.result = None
+        self.error = None
+
+
+class MicroBatcher:
+    """Cross-request dynamic batching for single-chunk /synthesize.
+
+    Requests enqueue under a parameter key (lang, steps, cfg, sway, speed);
+    a dispatcher thread drains everything compatible that queued up while
+    the previous solve ran and issues one synthesize_batch with per-request
+    seeds. Under no load a request runs alone (no artificial delay beyond
+    ``window_s``, which lets near-simultaneous arrivals coalesce).
+    """
+
+    def __init__(self, model, max_batch: int = 16,
+                 window_s: float = 0.003) -> None:
+        self._model = model
+        self._max_batch = max_batch
+        self._window_s = window_s
+        self._cv = threading.Condition()
+        self._queues: dict[tuple, list[_Request]] = {}
+        self.merged_batches = 0  # telemetry: batches serving >1 request
+        self._thread = threading.Thread(target=self._loop, daemon=True)
+        self._thread.start()
+
+    def submit(self, text: str, seed: int, params: dict) -> "object":
+        req = _Request(text, seed)
+        with self._cv:
+            self._queues.setdefault(_freeze(params), []).append(req)
+            self._cv.notify()
+        req.done.wait()
+        if req.error is not None:
+            raise req.error
+        return req.result
+
+    def _take_batch(self):
+        """Pop up to max_batch requests sharing one parameter key.
+
+        Served/empty keys are DELETED (not left as empty lists): the dict
+        never grows with stale client-controlled parameter combos, and a
+        drained key re-inserts at the end on its next request, so iteration
+        order rotates across keys instead of starving later ones."""
+        for key in list(self._queues):
+            reqs = self._queues[key]
+            batch, rest = reqs[: self._max_batch], reqs[self._max_batch:]
+            # always delete THEN re-insert leftovers: reassigning an
+            # existing dict key keeps its insertion position, so a key
+            # with a backlog over max_batch would stay first and starve
+            # every other parameter key
+            del self._queues[key]
+            if rest:
+                self._queues[key] = rest
+            if batch:
+                return key, batch
+        return None, None
+
+    def _loop(self) -> None:
+        import time
+
+        while True:
+            with self._cv:
+                while not any(self._queues.values()):
+                    self._cv.wait()
+            time.sleep(self._window_s)  # let near-simultaneous arrivals land
+            with self._cv:
+                key, batch = self._take_batch()
+            if not batch:
+                continue
+            params = dict(key)
+            try:
+                with _model_lock:
+                    wavs = self._model.synthesize_batch(
+                        [r.text for r in batch],
+                        seeds=[r.seed for r in batch],
+                        **params,
+                    )
+                if len(batch) > 1:
+                    self.merged_batches += 1
+                for r, w in zip(batch, wavs):
+                    r.result = w
+            except Exception as exc:  # noqa: BLE001 — isolate, don't poison the loop
+                if len(batch) == 1:
+                    batch[0].error = exc
+                else:
+                    # one bad request (e.g. whitespace-only text) must not
+                    # fail its co-batched neighbors: retry each alone
+                    for r in batch:
+                        try:
+                            with _model_lock:
+                                r.result = self._model.synthesize(
+                                    text=r.text, seed=r.seed, **params,
+                                )
+                        except Exception as solo_exc:  # noqa: BLE001
+                            r.error = solo_exc
+            for r in batch:
+                r.done.set()
+
+
+def _freeze(d: dict) -> tuple:
+    return tuple(sorted(d.items()))
+
+
+class Handler(BaseHTTPRequestHandler):
+    protocol_version = "HTTP/1.1"
+
+    def _json(self, code: int, obj) -> None:
+        body = json.dumps(obj).encode()
+        self.send_response(code)
+        self.send_header("Content-Type", "application/json")
+        self.send_header("Content-Length", str(len(body)))
+        self.end_headers()
+        self.wfile.write(body)
+
+    def do_GET(self):
+        if self.path == "/healthz":
+            merged = _batcher.merged_batches if _batcher else 0
+            stats = {}
+            lat = sorted(_latencies_s)
+            if lat:
+                stats = {
+                    "requests": len(lat),
+                    "latency_p50_ms": round(lat[len(lat) // 2] * 1e3, 1),
+                    "latency_p95_ms": round(
+                        lat[min(len(lat) - 1, int(len(lat) * 0.95))] * 1e3, 1
+                    ),
+                }
+            self._json(200, {"status": "ok", "merged_batches": merged,
+                             **stats, **_meta})
+        else:
+            self._json(404, {"error": "not found"})
+
+    def do_POST(self):
+        try:
+            length = int(self.headers.get("Content-Length", 0))
+            req = json.loads(self.rfile.read(length) or b"{}")
+        except (ValueError, json.JSONDecodeError):
+            self._json(400, {"error": "invalid JSON body"})
+            return
+
+        try:
+            common = dict(
+                lang=req.get("lang", "mn"),
+                n_steps=int(req.get("steps", 32)),
+                cfg_strength=float(req.get("cfg_strength", 2.0)),
+                sway_sampling_coef=req.get("sway_sampling_coef", -1.0),
+                speed=float(req.get("speed", 1.0)),
+            )
+            # coerce here so a string/float seed is a 400 like every other
+            # malformed parameter, not a 500 from deep inside PRNGKey
+            seed = req.get("seed")
+            if seed is not None:
+                seed = int(seed)
+        except (TypeError, ValueError) as exc:
+            self._json(400, {"error": f"invalid parameter: {exc}"})
+            return
+        try:
+            if self.path == "/synthesize":
+                text = req.get("text")
+                if not text or not str(text).strip():
+                    self._json(400, {"error": "missing 'text'"})
+                    return
+                wav = self._synthesize_one(text, seed, common)
+                body = _wav_bytes(wav, _model.sample_rate)
+                self.send_response(200)
+                self.send_header("Content-Type", "audio/wav")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+            elif self.path == "/synthesize_stream":
+                text = req.get("text")
+                if not text or not str(text).strip():
+                    self._json(400, {"error": "missing 'text'"})
+                    return
+                self._stream(text, seed, common)
+            elif self.path == "/synthesize_batch":
+                texts = req.get("texts")
+                if not texts or not isinstance(texts, list):
+                    self._json(400, {"error": "missing 'texts' list"})
+                    return
+                with _model_lock:
+                    wavs = _model.synthesize_batch(texts, seed=seed, **common)
+                self._json(200, {
+                    "sample_rate": _model.sample_rate,
+                    "wavs_base64": [
+                        base64.b64encode(
+                            _wav_bytes(w, _model.sample_rate)
+                        ).decode() for w in wavs
+                    ],
+                })
+            else:
+                self._json(404, {"error": "not found"})
+        except ValueError as exc:
+            self._json(400, {"error": str(exc)})
+        except Exception as exc:  # noqa: BLE001 — keep the server alive
+            self._json(500, {"error": f"{type(exc).__name__}: {exc}"})
+
+    def _synthesize_one(self, text: str, seed, common: dict):
+        """All ref-free requests ride the micro-batcher (synthesize_batch
+        chunks long texts itself, so a paragraph merges its chunk rows
+        with other requests' rows). A seeded request reproduces its solo
+        synthesize() output; an unseeded one is pinned to seed 0 (chunk c
+        then draws from PRNGKey(0+c) — same rule a seeded request uses)."""
+        import time
+
+        t0 = time.perf_counter()
+        try:
+            if _batcher is not None:
+                return _batcher.submit(
+                    text, 0 if seed is None else int(seed), common,
+                )
+            with _model_lock:
+                return _model.synthesize(text=text, seed=seed, **common)
+        finally:
+            _latencies_s.append(time.perf_counter() - t0)
+
+    def _stream(self, text: str, seed, common: dict) -> None:
+        from oron_tts_tpu.data.wav import pcm16_bytes, wav_stream_header
+
+        # synthesize_stream is a generator: its validation only runs at the
+        # first next(). Pull the first piece BEFORE sending headers so a
+        # ValueError still surfaces as a clean 400 (do_POST's handler) —
+        # otherwise a second status line would be injected into an open
+        # chunked response and the terminator never written.
+        gen = _model.synthesize_stream(text=text, seed=seed, **common)
+        with _model_lock:
+            first = next(gen)
+
+        self.send_response(200)
+        self.send_header("Content-Type", "audio/wav")
+        self.send_header("Transfer-Encoding", "chunked")
+        self.end_headers()
+
+        def write_chunk(payload: bytes) -> None:
+            self.wfile.write(f"{len(payload):X}\r\n".encode())
+            self.wfile.write(payload)
+            self.wfile.write(b"\r\n")
+
+        # The model lock guards only the next() calls (device work); socket
+        # writes happen OUTSIDE it, so a slow-reading client can't block
+        # the micro-batcher and every other request on TCP backpressure.
+        # Once headers are out, a failure can only be reported by cutting
+        # the chunked stream short (no terminator) — never by raising into
+        # do_POST's JSON error path, which would inject a second response.
+        try:
+            write_chunk(wav_stream_header(_model.sample_rate))
+            write_chunk(pcm16_bytes(first))
+            while True:
+                with _model_lock:
+                    try:
+                        piece = next(gen)
+                    except StopIteration:
+                        break
+                write_chunk(pcm16_bytes(piece))
+            self.wfile.write(b"0\r\n\r\n")
+        except Exception as exc:  # noqa: BLE001 — stream already started
+            self.log_message("stream aborted: %s: %s",
+                             type(exc).__name__, exc)
+            self.close_connection = True
+
+    def log_message(self, fmt, *fmt_args):  # quieter default logging
+        print(f"[serve] {self.address_string()} {fmt % fmt_args}")
+
+
+def main() -> None:
+    global _model, _batcher
+    parser = argparse.ArgumentParser(description="OronTTS-TPU HTTP server")
+    parser.add_argument("--checkpoint", type=str, required=True)
+    parser.add_argument("--vocoder", type=str, default=None)
+    parser.add_argument("--host", type=str, default="127.0.0.1")
+    parser.add_argument("--port", type=int, default=8080)
+    parser.add_argument("--no-ema", action="store_true")
+    parser.add_argument("--warmup", action="store_true",
+                        help="Pre-compile the default chunk bucket at startup")
+    parser.add_argument("--no-batching", action="store_true",
+                        help="Disable the cross-request micro-batcher "
+                             "(each /synthesize runs alone)")
+    parser.add_argument("--max-batch", type=int, default=16,
+                        help="Micro-batcher cap on merged requests per solve")
+    parser.add_argument("--no-scan-blocks", action="store_true",
+                        help="Use the unrolled DiT block loop instead of "
+                             "lax.scan (identical numerics; scan compiles "
+                             "~depth× faster, so it is the serving default)")
+    parser.add_argument("--device", type=str, default=None)
+    parser.add_argument("--mesh", type=str, default=None,
+                        help="Multi-chip serving mesh as DPxTP (e.g. 2x4): "
+                             "batch rows shard over DP, attention/FFN "
+                             "projections over TP")
+    args = parser.parse_args()
+
+    if args.device:
+        import jax
+
+        jax.config.update("jax_platforms", args.device)
+    from oron_tts_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+    from oron_tts_tpu.cli.infer import load_model
+
+    _model = load_model(args.checkpoint, use_ema=not args.no_ema,
+                        scan_blocks=not args.no_scan_blocks)
+    if args.vocoder:
+        _model.load_vocoder(args.vocoder)
+    if args.mesh:
+        from oron_tts_tpu.parallel.mesh import make_mesh
+
+        dp, _, tp = args.mesh.partition("x")
+        mesh = make_mesh(int(dp), int(tp or 1))
+        _model.set_mesh(mesh)
+        _meta["mesh"] = dict(mesh.shape)
+        print(f"[serve] mesh: {dict(mesh.shape)}")
+    _meta["params"] = _model.num_params()
+    if not args.no_batching:
+        _batcher = MicroBatcher(_model, max_batch=args.max_batch)
+    if args.warmup:
+        # warm the EXACT path real requests take. With batching enabled,
+        # /synthesize rides the micro-batcher → synthesize_batch →
+        # _dispatch_chunk_groups, whose jit avals (stacked [B,2] keys,
+        # int32 durations) differ from the solo segment path — warming the
+        # solo path alone would leave the first live request to pay the
+        # full sampler compile. Default steps=32 on the full 120-char
+        # chunk bucket (the sampler cache keys on both).
+        print("[serve] warmup synthesis (compiles the default request shape)...")
+        if _batcher is not None:
+            _model.synthesize_batch(["а" * 120], n_steps=32, seed=0)
+        else:
+            _model.synthesize("а" * 120, n_steps=32)
+        print("[serve] warmup done")
+
+    server = ThreadingHTTPServer((args.host, args.port), Handler)
+    print(f"[serve] listening on http://{args.host}:{args.port}")
+    server.serve_forever()
+
+
+if __name__ == "__main__":
+    main()

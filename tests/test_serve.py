@@ -10,7 +10,7 @@ from http.server import ThreadingHTTPServer
 import numpy as np
 import pytest
 
-import scripts.serve as serve
+import oron_tts_tpu.cli.serve as serve
 from oron_tts_tpu.config import F5Config
 from oron_tts_tpu.models.f5tts import F5TTS
 
