@@ -2,6 +2,10 @@
 
 POST /synthesize  {"text": "...", "lang": "mn", "steps": 32, "seed": 0,
                    "cfg_strength": 2.0, "speed": 1.0}  → audio/wav bytes
+                  Voice cloning: add "ref_audio_b64" (base64 WAV) or
+                  "ref_audio_path" (server-local file) + "ref_text" —
+                  works on all three synthesis endpoints; /synthesize_batch
+                  clones one voice across the whole batch.
 POST /synthesize_stream  same body → chunked audio/wav: WAV header first,
                    then PCM16 pieces as each text chunk's solve drains
                    (time-to-first-audio ≈ one chunk group's solve)
@@ -25,6 +29,7 @@ import base64
 import json
 import threading
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from pathlib import Path
 
 _model = None
 _model_lock = threading.Lock()
@@ -151,6 +156,43 @@ def _freeze(d: dict) -> tuple:
     return tuple(sorted(d.items()))
 
 
+@__import__("contextlib").contextmanager
+def _ref_audio(req: dict):
+    """Voice-cloning reference from a request, as synthesize() kwargs.
+
+    ``ref_audio_b64`` (base64 WAV bytes — the transport for remote
+    clients) lands in a temp file for the duration of the request;
+    ``ref_audio_path`` points at a server-local file. ``ref_text`` is the
+    reference transcript (optional; enables the ref-ratio duration rule).
+    Yields {} for ref-free requests.
+    """
+    import os
+    import tempfile
+
+    b64 = req.get("ref_audio_b64")
+    path = req.get("ref_audio_path")
+    if b64 and path:
+        raise ValueError("pass ref_audio_b64 OR ref_audio_path, not both")
+    if b64:
+        try:
+            data = base64.b64decode(b64, validate=True)
+        except Exception as exc:
+            raise ValueError(f"invalid ref_audio_b64: {exc}") from None
+        fd, tmp = tempfile.mkstemp(suffix=".wav")
+        try:
+            with os.fdopen(fd, "wb") as f:
+                f.write(data)
+            yield {"ref_audio_path": tmp, "ref_text": req.get("ref_text")}
+        finally:
+            os.unlink(tmp)
+    elif path:
+        if not Path(path).exists():
+            raise ValueError(f"ref_audio_path not found: {path}")
+        yield {"ref_audio_path": path, "ref_text": req.get("ref_text")}
+    else:
+        yield {}
+
+
 class Handler(BaseHTTPRequestHandler):
     protocol_version = "HTTP/1.1"
 
@@ -205,47 +247,54 @@ class Handler(BaseHTTPRequestHandler):
             self._json(400, {"error": f"invalid parameter: {exc}"})
             return
         try:
-            if self.path == "/synthesize":
-                text = req.get("text")
-                if not text or not str(text).strip():
-                    self._json(400, {"error": "missing 'text'"})
-                    return
-                wav = self._synthesize_one(text, seed, common)
-                body = _wav_bytes(wav, _model.sample_rate)
-                self.send_response(200)
-                self.send_header("Content-Type", "audio/wav")
-                self.send_header("Content-Length", str(len(body)))
-                self.end_headers()
-                self.wfile.write(body)
-            elif self.path == "/synthesize_stream":
-                text = req.get("text")
-                if not text or not str(text).strip():
-                    self._json(400, {"error": "missing 'text'"})
-                    return
-                self._stream(text, seed, common)
-            elif self.path == "/synthesize_batch":
-                texts = req.get("texts")
-                if not texts or not isinstance(texts, list):
-                    self._json(400, {"error": "missing 'texts' list"})
-                    return
-                with _model_lock:
-                    wavs = _model.synthesize_batch(texts, seed=seed, **common)
-                self._json(200, {
-                    "sample_rate": _model.sample_rate,
-                    "wavs_base64": [
-                        base64.b64encode(
-                            _wav_bytes(w, _model.sample_rate)
-                        ).decode() for w in wavs
-                    ],
-                })
-            else:
-                self._json(404, {"error": "not found"})
+            with _ref_audio(req) as ref:
+                if ref:
+                    common = dict(common, **ref)
+                if self.path == "/synthesize":
+                    text = req.get("text")
+                    if not text or not str(text).strip():
+                        self._json(400, {"error": "missing 'text'"})
+                        return
+                    wav = self._synthesize_one(text, seed, common,
+                                               cloned=bool(ref))
+                    body = _wav_bytes(wav, _model.sample_rate)
+                    self.send_response(200)
+                    self.send_header("Content-Type", "audio/wav")
+                    self.send_header("Content-Length", str(len(body)))
+                    self.end_headers()
+                    self.wfile.write(body)
+                elif self.path == "/synthesize_stream":
+                    text = req.get("text")
+                    if not text or not str(text).strip():
+                        self._json(400, {"error": "missing 'text'"})
+                        return
+                    self._stream(text, seed, common)
+                elif self.path == "/synthesize_batch":
+                    texts = req.get("texts")
+                    if not texts or not isinstance(texts, list):
+                        self._json(400, {"error": "missing 'texts' list"})
+                        return
+                    with _model_lock:
+                        wavs = _model.synthesize_batch(
+                            texts, seed=seed, **common
+                        )
+                    self._json(200, {
+                        "sample_rate": _model.sample_rate,
+                        "wavs_base64": [
+                            base64.b64encode(
+                                _wav_bytes(w, _model.sample_rate)
+                            ).decode() for w in wavs
+                        ],
+                    })
+                else:
+                    self._json(404, {"error": "not found"})
         except ValueError as exc:
             self._json(400, {"error": str(exc)})
         except Exception as exc:  # noqa: BLE001 — keep the server alive
             self._json(500, {"error": f"{type(exc).__name__}: {exc}"})
 
-    def _synthesize_one(self, text: str, seed, common: dict):
+    def _synthesize_one(self, text: str, seed, common: dict,
+                        cloned: bool = False):
         """All ref-free requests ride the micro-batcher (synthesize_batch
         chunks long texts itself, so a paragraph merges its chunk rows
         with other requests' rows). A seeded request reproduces its solo
@@ -255,7 +304,9 @@ class Handler(BaseHTTPRequestHandler):
 
         t0 = time.perf_counter()
         try:
-            if _batcher is not None:
+            # cloned requests skip the batcher: the ref mel is part of the
+            # solve, so merging would require identical refs per group
+            if _batcher is not None and not cloned:
                 return _batcher.submit(
                     text, 0 if seed is None else int(seed), common,
                 )

@@ -707,8 +707,10 @@ class F5TTS:
         seeds: list[int] | None = None,
         max_chars_per_chunk: int | None = DEFAULT_MAX_CHARS_PER_CHUNK,
         pause_s: float = DEFAULT_PAUSE_S,
+        ref_audio_path: str | Path | None = None,
+        ref_text: str | None = None,
     ) -> list[np.ndarray]:
-        """Batched ref-free synthesis: few sampler calls for many utterances.
+        """Batched synthesis: few sampler calls for many utterances.
 
         TPU-native throughput path (no reference analogue): every text is
         split into chunks (long texts included — each chunk becomes an
@@ -718,6 +720,11 @@ class F5TTS:
         measured GROUP_FRAME_BUDGET saturation knee), each group rides one
         CFG Euler solve + one lens-masked vocoder call, and each text's
         chunks are re-joined with ``pause_s`` silence.
+
+        Voice cloning: pass ``ref_audio_path``/``ref_text`` to clone ONE
+        voice across the whole batch — the reference mel is loaded once
+        and shared by every row (same contract as synthesize(); durations
+        switch to the ref-ratio rule).
 
         Determinism contract: text i's chunk c draws its noise from its
         OWN key (``seeds[i] + c``, with ``seeds[i]`` defaulting to
@@ -761,10 +768,12 @@ class F5TTS:
                 # the serial chunk-seed rule per text: seeds[i] + chunk idx
                 row_seeds.append(seeds[i] + ci)
 
+        if ref_text:
+            self._warn_lang_contamination(ref_text, lang)
         target_lens, pending = self._dispatch_chunk_groups(
-            chunk_texts, lang, None, None, n_steps, cfg_strength,
-            sway_sampling_coef, speed, [None] * len(chunk_texts), row_seeds,
-            max_batch,
+            chunk_texts, lang, ref_audio_path, ref_text, n_steps,
+            cfg_strength, sway_sampling_coef, speed,
+            [None] * len(chunk_texts), row_seeds, max_batch,
         )
         chunk_wavs: list[np.ndarray | None] = [None] * len(chunk_texts)
         for group, decoded in pending:

@@ -356,6 +356,28 @@ def test_synthesize_batch_chunks_long_texts():
         model.synthesize_batch(["нэг", "  "], **kw)
 
 
+def test_synthesize_batch_with_ref_matches_solo(tmp_path):
+    """Batched voice cloning: one ref voice across the batch, each text's
+    audio identical to its solo synthesize(ref...) output."""
+    from oron_tts_tpu.data.wav import write_wav
+
+    sr = 24000
+    t = np.arange(sr // 2) / sr
+    ref = (0.3 * np.sin(2 * np.pi * 220 * t)).astype(np.float32)
+    ref_path = tmp_path / "ref.wav"
+    write_wav(ref_path, ref, sr)
+
+    model = F5TTS.from_config(TINY_CFG)
+    model.init_params(0)
+    kw = dict(ref_audio_path=ref_path, ref_text="тийм", n_steps=2)
+    texts = ["сайн байна уу", "за"]
+    batched = model.synthesize_batch(texts, seeds=[4, 9], **kw)
+    for i, (text, s) in enumerate(zip(texts, [4, 9])):
+        solo = model.synthesize(text, seed=s, **kw)
+        assert batched[i].shape == solo.shape
+        np.testing.assert_allclose(batched[i], solo, rtol=2e-4, atol=1e-4)
+
+
 def test_cfm_sample_per_row_noise_invariance():
     """cfm.sample row outputs are invariant to batch composition and to
     bucket padding when seeded via per-row key folding."""

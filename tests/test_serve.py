@@ -143,6 +143,38 @@ def test_concurrent_requests_merge_and_match_solo(server_port):
         np.testing.assert_allclose(got, want, atol=2.5 / 32767)
 
 
+def test_voice_cloning_endpoint(server_port, tmp_path):
+    """A base64-WAV reference clones the voice; output matches the solo
+    facade call with the same ref and seed."""
+    from oron_tts_tpu.data.wav import read_wav_bytes, wav_bytes, write_wav
+
+    sr = 24000
+    t = np.arange(sr // 2) / sr
+    ref = (0.3 * np.sin(2 * np.pi * 220 * t)).astype(np.float32)
+    ref_b64 = base64.b64encode(wav_bytes(ref, sr)).decode()
+
+    body = {"text": "сайн", "steps": 1, "seed": 6,
+            "ref_audio_b64": ref_b64, "ref_text": "тийм"}
+    status, ctype, payload = _post(server_port, "/synthesize", body)
+    assert status == 200 and ctype == "audio/wav"
+    got, _ = read_wav_bytes(payload)
+
+    ref_path = tmp_path / "ref.wav"
+    write_wav(ref_path, ref, sr)
+    want = serve._model.synthesize(
+        "сайн", n_steps=1, seed=6, ref_audio_path=ref_path, ref_text="тийм",
+    )
+    assert got.shape == want.shape
+    np.testing.assert_allclose(got, want, atol=2.5 / 32767)
+
+    # bad base64 is a clean 400
+    status, _, payload = _post(
+        server_port, "/synthesize",
+        {"text": "x", "steps": 1, "ref_audio_b64": "!!!not-base64!!!"},
+    )
+    assert status == 400 and b"ref_audio_b64" in payload
+
+
 def test_error_paths(server_port):
     status, _, body = _post(server_port, "/synthesize", {})
     assert status == 400 and b"missing 'text'" in body
