@@ -123,10 +123,10 @@ def main() -> None:
 
     if (args.text is None) == (args.text_file is None):
         parser.error("provide exactly one of --text or --text-file")
-    if args.text_file and (args.ref_audio or args.ref_text or args.duration):
+    if args.text_file and args.duration:
         parser.error(
-            "--text-file is ref-free batch mode; --ref-audio/--ref-text/"
-            "--duration are per-utterance — use --text for those"
+            "--duration is per-utterance — use --text for an explicit "
+            "duration (--text-file estimates per line)"
         )
 
     model = load_model(args.checkpoint, use_ema=not args.no_ema,
@@ -148,29 +148,18 @@ def main() -> None:
             if line.strip()
         ]
         print(f"Batch synthesis: {len(texts)} utterances [{args.lang}]")
-        max_chars = args.max_chars_per_chunk or 0
-        if max_chars and any(len(t) > max_chars for t in texts):
-            # long lines need chunking, which the packed batch path skips —
-            # fall back to per-line synthesis (still one file per line)
-            print("[INFO] long lines present — synthesizing per line with chunking")
-            wavs = [
-                model.synthesize(
-                    text=line, lang=args.lang, n_steps=args.steps,
-                    cfg_strength=args.cfg_strength,
-                    sway_sampling_coef=args.sway_sampling_coef,
-                    speed=args.speed, max_chars_per_chunk=max_chars,
-                    pause_s=args.pause_ms / 1000,
-                    seed=None if args.seed is None else args.seed + i,
-                )
-                for i, line in enumerate(texts)
-            ]
-        else:
-            wavs = model.synthesize_batch(
-                texts, lang=args.lang, n_steps=args.steps,
-                cfg_strength=args.cfg_strength,
-                sway_sampling_coef=args.sway_sampling_coef,
-                speed=args.speed, seed=args.seed,
-            )
+        # synthesize_batch chunks long lines itself (each chunk becomes a
+        # length-grouped row) and clones one voice across the batch when a
+        # reference is given
+        wavs = model.synthesize_batch(
+            texts, lang=args.lang, n_steps=args.steps,
+            cfg_strength=args.cfg_strength,
+            sway_sampling_coef=args.sway_sampling_coef,
+            speed=args.speed, seed=args.seed,
+            max_chars_per_chunk=args.max_chars_per_chunk,
+            pause_s=args.pause_ms / 1000,
+            ref_audio_path=args.ref_audio, ref_text=args.ref_text,
+        )
         out = Path(args.output)
         out.parent.mkdir(parents=True, exist_ok=True)
         for i, wav in enumerate(wavs):
