@@ -5,13 +5,22 @@ from pathlib import Path
 
 
 def load_model(checkpoint_path: str, use_ema: bool = True,
-               scan_blocks: bool | None = None):
+               scan_blocks: bool | None = None,
+               precision: str | None = None):
     """Load F5TTS from a native .npz / torch .pt checkpoint or a directory.
 
     scan_blocks=True iterates the DiT blocks with lax.scan — identical
     numerics, ~depth× faster cold compile (recommended for serving);
     None defers to the checkpoint config's model.scan_blocks.
+    precision: None = the F5TTS default (bf16 compute on TPU, f32 on CPU);
+    "float32" forces f32 compute everywhere. Under bf16 compute, loaded
+    params are STORED bf16 too — the compute path casts them to bf16 at
+    use anyway, so outputs are identical while weight HBM and per-forward
+    weight bandwidth halve (~856 MB and ~2x on the B=1 latency path for
+    Base).
     """
+    import jax.numpy as jnp
+
     from oron_tts_tpu.config import F5Config
     from oron_tts_tpu.models.f5tts import F5TTS
     from oron_tts_tpu.train.checkpoint import CheckpointManager, load_pytree_npz
@@ -26,7 +35,9 @@ def load_model(checkpoint_path: str, use_ema: bool = True,
     ckpt_dir = path if path.is_dir() else path.parent
     cm = CheckpointManager(str(ckpt_dir))
     config = cm.load_config() or {}
-    model = F5TTS.from_config(F5Config.from_dict(config), scan_blocks=scan_blocks)
+    dtype = jnp.float32 if precision == "float32" else None
+    model = F5TTS.from_config(F5Config.from_dict(config),
+                              scan_blocks=scan_blocks, dtype=dtype)
 
     if path.is_dir():
         found = cm.latest_checkpoint() or (
@@ -61,6 +72,18 @@ def load_model(checkpoint_path: str, use_ema: bool = True,
         )
         model.variables = {"params": params}
         print(f"Loaded torch-format checkpoint ({'EMA' if use_ema else 'raw'} weights, converted to JAX)")
+    if model.dtype == jnp.bfloat16:
+        import jax
+
+        model.variables = jax.tree_util.tree_map(
+            lambda x: x.astype(jnp.bfloat16)
+            if hasattr(x, "dtype") and jnp.issubdtype(x.dtype, jnp.floating)
+            else x,
+            model.variables,
+        )
+        print("Params stored bf16 (identical outputs under bf16 compute; "
+              "halves weight HBM + bandwidth) — use precision='float32' "
+              "for f32 end to end")
     return model
 
 
@@ -104,6 +127,9 @@ def main() -> None:
     parser.add_argument("--scan-blocks", action="store_true", default=None,
                         help="Iterate DiT blocks with lax.scan: identical "
                              "output, ~depth× faster cold compile")
+    parser.add_argument("--fp32", action="store_true",
+                        help="Force float32 compute + params (default: "
+                             "bf16 on TPU — the measured configuration)")
     parser.add_argument("--mesh", type=str, default=None,
                         help="Multi-chip serving mesh as DPxTP (e.g. 2x4): "
                              "batch rows shard over DP, attention/FFN "
@@ -130,7 +156,8 @@ def main() -> None:
         )
 
     model = load_model(args.checkpoint, use_ema=not args.no_ema,
-                       scan_blocks=args.scan_blocks)
+                       scan_blocks=args.scan_blocks,
+                       precision="float32" if args.fp32 else None)
     if args.vocoder:
         model.load_vocoder(args.vocoder)
     if args.mesh:

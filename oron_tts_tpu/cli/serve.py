@@ -383,6 +383,9 @@ def main() -> None:
                              "lax.scan (identical numerics; scan compiles "
                              "~depth× faster, so it is the serving default)")
     parser.add_argument("--device", type=str, default=None)
+    parser.add_argument("--fp32", action="store_true",
+                        help="Force float32 compute + params (default: "
+                             "bf16 on TPU — the measured configuration)")
     parser.add_argument("--mesh", type=str, default=None,
                         help="Multi-chip serving mesh as DPxTP (e.g. 2x4): "
                              "batch rows shard over DP, attention/FFN "
@@ -399,7 +402,8 @@ def main() -> None:
     from oron_tts_tpu.cli.infer import load_model
 
     _model = load_model(args.checkpoint, use_ema=not args.no_ema,
-                        scan_blocks=not args.no_scan_blocks)
+                        scan_blocks=not args.no_scan_blocks,
+                        precision="float32" if args.fp32 else None)
     if args.vocoder:
         _model.load_vocoder(args.vocoder)
     if args.mesh:

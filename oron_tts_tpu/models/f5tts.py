@@ -106,7 +106,7 @@ def concat_with_pause(
 class F5TTS:
     """Model bundle: DiT backbone + CFM + audio frontend + vocoder."""
 
-    def __init__(self, config: F5Config, dtype: Any = jnp.float32,
+    def __init__(self, config: F5Config, dtype: Any = None,
                  use_flash: bool | None = None, pad_to_multiple: int = 64,
                  scan_blocks: bool | None = None,
                  conv_impl: str | None = None) -> None:
@@ -122,6 +122,17 @@ class F5TTS:
             sample_rate=a.sample_rate, n_fft=a.n_fft,
             hop_length=a.hop_length, win_length=a.win_length, n_mels=a.n_mels,
         )
+        if dtype is None:
+            # bf16 compute is the measured TPU serving configuration
+            # (bench.py, docs/KERNELS.md) — the f32 default used to apply
+            # only here, silently making the product path ~2x the benched
+            # cost. Explicit dtype (the trainer passes mixed_precision)
+            # still wins.
+            dtype = (
+                jnp.bfloat16 if jax.default_backend() == "tpu"
+                else jnp.float32
+            )
+        self.dtype = dtype
         if use_flash is None:
             # flash attention (with its custom VJP) wins on TPU for both
             # inference (~1.5x attention) and the train step (~1.3x e2e)

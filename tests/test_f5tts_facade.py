@@ -378,6 +378,31 @@ def test_synthesize_batch_with_ref_matches_solo(tmp_path):
         np.testing.assert_allclose(batched[i], solo, rtol=2e-4, atol=1e-4)
 
 
+def test_bf16_param_storage_matches_f32_under_bf16_compute():
+    """Storing params bf16 under bf16 compute is lossless: the compute
+    path casts f32 params to bf16 at use anyway, so pre-casting (what
+    load_model does on TPU — halves weight HBM/bandwidth) must reproduce
+    the same audio."""
+    import jax
+    import jax.numpy as jnp
+
+    from oron_tts_tpu.config import F5Config
+
+    model = F5TTS.from_config(F5Config.from_dict(TINY_CFG),
+                              dtype=jnp.bfloat16)
+    model.init_params(0)
+    f32_audio = model.synthesize("сайн", n_steps=2, seed=1)
+    model.variables = jax.tree_util.tree_map(
+        lambda x: x.astype(jnp.bfloat16)
+        if jnp.issubdtype(x.dtype, jnp.floating) else x,
+        model.variables,
+    )
+    bf16_audio = model.synthesize("сайн", n_steps=2, seed=1)
+    assert bf16_audio.shape == f32_audio.shape
+    # same values enter every matmul; only fusion details can differ
+    np.testing.assert_allclose(bf16_audio, f32_audio, rtol=1e-3, atol=1e-4)
+
+
 def test_cfm_sample_per_row_noise_invariance():
     """cfm.sample row outputs are invariant to batch composition and to
     bucket padding when seeded via per-row key folding."""
