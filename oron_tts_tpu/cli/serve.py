@@ -12,8 +12,9 @@ POST /synthesize_stream  same body → chunked audio/wav: WAV header first,
 POST /synthesize_batch {"texts": [...], ...}           → multipart-free JSON
                    {"wavs_base64": [...], "sample_rate": 24000}
 GET  /healthz → {"status": "ok", "merged_batches": N, "params": N,
-                 "requests": N, "latency_p50_ms": x, "latency_p95_ms": x
-                 [, "mesh"]}  (latency keys appear after the first request)
+                 "requests": N (served total, all synthesis endpoints),
+                 "latency_p50_ms": x, "latency_p95_ms": x (rolling
+                 512-request window) [, "mesh"]}
 
 Single-process, thread-pooled. Concurrent /synthesize requests are merged
 by a micro-batcher: requests with identical solver parameters that arrive
@@ -28,6 +29,9 @@ import argparse
 import base64
 import json
 import threading
+import time
+from collections import deque
+from contextlib import contextmanager
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from pathlib import Path
 
@@ -35,10 +39,20 @@ _model = None
 _model_lock = threading.Lock()
 _batcher = None
 _meta = {}
-# rolling per-request wall-time window (deque.append is GIL-atomic);
-# /healthz reports p50/p95 so a deploy can watch serving latency without
+# rolling per-request wall-time window (deque.append is GIL-atomic) over
+# ALL synthesis endpoints + a monotonic served-request counter; /healthz
+# reports p50/p95 + totals so a deploy can watch serving health without
 # external instrumentation
-_latencies_s: "deque[float]" = __import__("collections").deque(maxlen=512)
+_latencies_s: deque = deque(maxlen=512)
+_stats_lock = threading.Lock()
+_requests_total = 0
+
+
+def _record_latency(t0: float) -> None:
+    global _requests_total
+    _latencies_s.append(time.perf_counter() - t0)
+    with _stats_lock:
+        _requests_total += 1
 
 
 def _wav_bytes(wav, sample_rate: int) -> bytes:
@@ -156,7 +170,7 @@ def _freeze(d: dict) -> tuple:
     return tuple(sorted(d.items()))
 
 
-@__import__("contextlib").contextmanager
+@contextmanager
 def _ref_audio(req: dict):
     """Voice-cloning reference from a request, as synthesize() kwargs.
 
@@ -207,16 +221,15 @@ class Handler(BaseHTTPRequestHandler):
     def do_GET(self):
         if self.path == "/healthz":
             merged = _batcher.merged_batches if _batcher else 0
-            stats = {}
+            stats = {"requests": _requests_total}
             lat = sorted(_latencies_s)
             if lat:
-                stats = {
-                    "requests": len(lat),
+                stats.update({
                     "latency_p50_ms": round(lat[len(lat) // 2] * 1e3, 1),
                     "latency_p95_ms": round(
                         lat[min(len(lat) - 1, int(len(lat) * 0.95))] * 1e3, 1
                     ),
-                }
+                })
             self._json(200, {"status": "ok", "merged_batches": merged,
                              **stats, **_meta})
         else:
@@ -231,11 +244,14 @@ class Handler(BaseHTTPRequestHandler):
             return
 
         try:
+            sway = req.get("sway_sampling_coef", -1.0)
             common = dict(
                 lang=req.get("lang", "mn"),
                 n_steps=int(req.get("steps", 32)),
                 cfg_strength=float(req.get("cfg_strength", 2.0)),
-                sway_sampling_coef=req.get("sway_sampling_coef", -1.0),
+                # None disables the warp; anything else must be a float —
+                # coerce here so garbage is a 400, not a 500 in the sampler
+                sway_sampling_coef=None if sway is None else float(sway),
                 speed=float(req.get("speed", 1.0)),
             )
             # coerce here so a string/float seed is a 400 like every other
@@ -246,6 +262,7 @@ class Handler(BaseHTTPRequestHandler):
         except (TypeError, ValueError) as exc:
             self._json(400, {"error": f"invalid parameter: {exc}"})
             return
+        t0 = time.perf_counter()
         try:
             with _ref_audio(req) as ref:
                 if ref:
@@ -269,6 +286,7 @@ class Handler(BaseHTTPRequestHandler):
                         self._json(400, {"error": "missing 'text'"})
                         return
                     self._stream(text, seed, common)
+                    _record_latency(t0)
                 elif self.path == "/synthesize_batch":
                     texts = req.get("texts")
                     if not texts or not isinstance(texts, list):
@@ -286,6 +304,7 @@ class Handler(BaseHTTPRequestHandler):
                             ).decode() for w in wavs
                         ],
                     })
+                    _record_latency(t0)
                 else:
                     self._json(404, {"error": "not found"})
         except ValueError as exc:
@@ -300,8 +319,6 @@ class Handler(BaseHTTPRequestHandler):
         with other requests' rows). A seeded request reproduces its solo
         synthesize() output; an unseeded one is pinned to seed 0 (chunk c
         then draws from PRNGKey(0+c) — same rule a seeded request uses)."""
-        import time
-
         t0 = time.perf_counter()
         try:
             # cloned requests skip the batcher: the ref mel is part of the
@@ -313,7 +330,7 @@ class Handler(BaseHTTPRequestHandler):
             with _model_lock:
                 return _model.synthesize(text=text, seed=seed, **common)
         finally:
-            _latencies_s.append(time.perf_counter() - t0)
+            _record_latency(t0)
 
     def _stream(self, text: str, seed, common: dict) -> None:
         from oron_tts_tpu.data.wav import pcm16_bytes, wav_stream_header

@@ -150,7 +150,11 @@ def istft(
     eps: float = 1e-11,
 ) -> jnp.ndarray:
     """Complex-input convenience wrapper (CPU parity tests; TPU code should
-    call istft_real directly with separate components)."""
+    call istft_real directly with separate components).
+
+    Inherits istft_real's explicit-length semantics: a ``length`` beyond
+    the trimmed default returns REAL overlap-add tail samples where
+    torch.istft would zero-pad (see istft_real)."""
     return istft_real(
         jnp.real(spec), jnp.imag(spec), n_fft, hop_length, win_length,
         normalized=normalized, center=center, length=length, eps=eps,

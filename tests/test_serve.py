@@ -193,6 +193,9 @@ def test_error_paths(server_port):
     status, _, body = _post(server_port, "/synthesize",
                             {"text": "x", "lang": "en", "steps": 1})
     assert status == 400 and "Unsupported language".encode() in body
+    status, _, body = _post(server_port, "/synthesize",
+                            {"text": "x", "sway_sampling_coef": "abc"})
+    assert status == 400 and b"invalid parameter" in body
     status, _, _ = _post(server_port, "/nope", {})
     assert status == 404
 
