@@ -87,6 +87,30 @@ def force_sync(*trees) -> None:
             float(jnp.sum(jnp.ravel(leaf)[:1].astype(jnp.float32)))
 
 
+def _backend_watchdog(timeout_s: float = 300.0):
+    """Fail fast if backend init hangs (the TPU tunnel dials forever when
+    it is down — an indefinite hang would eat the whole bench window).
+    Returns an Event to set once the backend is up."""
+    import os
+    import threading
+
+    up = threading.Event()
+
+    def guard() -> None:
+        if not up.wait(timeout_s):
+            print(
+                f"# FATAL: backend init did not complete within "
+                f"{timeout_s:.0f}s — TPU tunnel down? (bare jax.devices() "
+                f"hangs when it is; see .claude/skills/verify/SKILL.md)",
+                file=sys.stderr,
+            )
+            sys.stderr.flush()
+            os._exit(3)
+
+    threading.Thread(target=guard, daemon=True).start()
+    return up
+
+
 def main() -> None:
     from oron_tts_tpu.utils.cache import enable_compilation_cache
 
@@ -96,8 +120,10 @@ def main() -> None:
     import jax
     import jax.numpy as jnp
 
+    watchdog_up = _backend_watchdog()
     backend = jax.default_backend()
     print(f"# backend={backend} devices={jax.devices()}", file=sys.stderr)
+    watchdog_up.set()
 
     # phases run in their own frames so each one's device buffers (params,
     # jit caches) are freed before the next — the B=12 no-remat train step
