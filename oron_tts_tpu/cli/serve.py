@@ -235,9 +235,18 @@ class Handler(BaseHTTPRequestHandler):
         else:
             self._json(404, {"error": "not found"})
 
+    # generous for a base64 reference WAV (10 s @ 24 kHz ≈ 640 KB), tight
+    # enough that a hostile Content-Length can't exhaust host memory
+    MAX_BODY_BYTES = 32 * 1024 * 1024
+    MAX_BATCH_TEXTS = 256
+
     def do_POST(self):
         try:
             length = int(self.headers.get("Content-Length", 0))
+            if length > self.MAX_BODY_BYTES:
+                self._json(413, {"error": f"body too large ({length} bytes; "
+                                          f"max {self.MAX_BODY_BYTES})"})
+                return
             req = json.loads(self.rfile.read(length) or b"{}")
         except (ValueError, json.JSONDecodeError):
             self._json(400, {"error": "invalid JSON body"})
@@ -291,6 +300,12 @@ class Handler(BaseHTTPRequestHandler):
                     texts = req.get("texts")
                     if not texts or not isinstance(texts, list):
                         self._json(400, {"error": "missing 'texts' list"})
+                        return
+                    if len(texts) > self.MAX_BATCH_TEXTS:
+                        self._json(413, {
+                            "error": f"too many texts ({len(texts)}; max "
+                                     f"{self.MAX_BATCH_TEXTS} per request)",
+                        })
                         return
                     with _model_lock:
                         wavs = _model.synthesize_batch(

@@ -196,6 +196,11 @@ def test_error_paths(server_port):
     status, _, body = _post(server_port, "/synthesize",
                             {"text": "x", "sway_sampling_coef": "abc"})
     assert status == 400 and b"invalid parameter" in body
+    status, _, body = _post(
+        server_port, "/synthesize_batch",
+        {"texts": ["x"] * (serve.Handler.MAX_BATCH_TEXTS + 1)},
+    )
+    assert status == 413 and b"too many texts" in body
     status, _, _ = _post(server_port, "/nope", {})
     assert status == 404
 
