@@ -213,6 +213,7 @@ class CFM:
         noise: jnp.ndarray | None = None,
         return_trajectory: bool = False,
         max_duration: int = 65536,
+        hoist_t_mods: bool = True,
     ) -> tuple[jnp.ndarray, jnp.ndarray | None]:
         """Euler-ODE generation.
 
@@ -287,22 +288,41 @@ class CFM:
         t_grid = sway_timesteps(steps, sway_sampling_coef, dtype=cond.dtype)
         use_cfg = cfg_strength >= 1e-5
 
-        def velocity(x: jnp.ndarray, t_val: jnp.ndarray) -> jnp.ndarray:
-            t_b = jnp.broadcast_to(t_val, (batch,))
+        if hoist_t_mods:
+            # every t-dependent matmul (timestep MLP + all AdaLN
+            # projections) over the WHOLE static step schedule, computed
+            # once before the loop; the body slices one row per step
+            # (dit.precompute_t_mods — ~1/3 of weight HBM traffic removed
+            # from every Euler step)
+            from oron_tts_tpu.models.dit import precompute_t_mods
+
+            te_time = self.backbone.apply(
+                variables, t_grid[:-1], method="embed_time"
+            )
+            block_mods, final_mods = precompute_t_mods(
+                variables["params"], te_time, self.backbone.depth,
+                self.backbone.scan_blocks, self.backbone.dtype,
+            )
+
+        def velocity(x: jnp.ndarray, i: jnp.ndarray) -> jnp.ndarray:
+            t_b = jnp.broadcast_to(t_grid[i], (batch,))
+            tm = (
+                (block_mods[:, i], final_mods[i]) if hoist_t_mods else None
+            )
             if not use_cfg:
                 return self.backbone.apply(
                     variables, x, step_cond, text_ids, t_b,
-                    mask=attn_mask, text_embed=te_cond,
+                    mask=attn_mask, text_embed=te_cond, t_mods=tm,
                 )
             pred, null = self.backbone.apply(
                 variables, x, step_cond, te_cond, te_uncond, t_b, attn_mask,
-                method="forward_cfg",
+                method="forward_cfg", t_mods=tm,
             )
             return pred + (pred - null) * cfg_strength
 
         def euler_step(x: jnp.ndarray, i: jnp.ndarray):
             dt = t_grid[i + 1] - t_grid[i]
-            v = velocity(x, t_grid[i])
+            v = velocity(x, i)
             x_next = x + v * dt
             return x_next, (x_next if return_trajectory else None)
 

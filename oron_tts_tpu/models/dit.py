@@ -57,8 +57,8 @@ class InputEmbedding(nn.Module):
 class _DiTBlockScanBody(DiTBlock):
     """DiTBlock with the (carry, out) return shape nn.scan expects."""
 
-    def __call__(self, x, t, mask, rope, deterministic):  # noqa: D102
-        return super().__call__(x, t, mask, rope, deterministic), None
+    def __call__(self, x, t, mask, rope, deterministic, tmods=None):  # noqa: D102
+        return super().__call__(x, t, mask, rope, deterministic, tmods), None
 
 
 class DiT(nn.Module):
@@ -117,7 +117,11 @@ class DiT(nn.Module):
                 body,
                 variable_axes={"params": 0},
                 split_rngs={"params": True, "dropout": True},
-                in_axes=(nn.broadcast, nn.broadcast, nn.broadcast, nn.broadcast),
+                # tmods (last arg) is scanned over its leading [depth] axis;
+                # None (the training path) contributes no leaves to scan
+                in_axes=(
+                    nn.broadcast, nn.broadcast, nn.broadcast, nn.broadcast, 0
+                ),
                 length=self.depth,
             )
             self.blocks = scan(**block_kwargs, name="blocks")
@@ -158,22 +162,36 @@ class DiT(nn.Module):
         """Hoistable text embedding (compute once per CFG branch, reuse per step)."""
         return self.text_embed(text_ids, seq_len, drop_text=drop_text)
 
+    def embed_time(self, time: jnp.ndarray) -> jnp.ndarray:
+        """Hoistable timestep embedding: [S] → [S, dim].
+
+        The sampler evaluates this once over the whole (static) timestep
+        schedule; precompute_t_mods then folds the per-block AdaLN
+        projections the same way (see module docstring note on hoisting).
+        """
+        return self.time_embed(time)
+
     def _transformer(
         self,
         h: jnp.ndarray,
-        t: jnp.ndarray,
+        t: jnp.ndarray | None,
         mask: jnp.ndarray | None,
         deterministic: bool,
+        t_mods: tuple[jnp.ndarray, jnp.ndarray] | None = None,
     ) -> jnp.ndarray:
         seq_len = h.shape[1]
         cos, sin = rope_tables(seq_len, self.dim_head)
         rope = (jnp.asarray(cos), jnp.asarray(sin))
+        block_mods, final_mods = t_mods if t_mods is not None else (None, None)
         if self.scan_blocks:
-            h, _ = self.blocks(h, t, mask, rope, deterministic)
+            h, _ = self.blocks(h, t, mask, rope, deterministic, block_mods)
         else:
-            for blk in self.blocks:
-                h = blk(h, t, mask, rope, deterministic)
-        h = self.norm_out(h, t)
+            for i, blk in enumerate(self.blocks):
+                h = blk(
+                    h, t, mask, rope, deterministic,
+                    None if block_mods is None else block_mods[i],
+                )
+        h = self.norm_out(h, t, mods=final_mods)
         return self.proj_out(h)
 
     def __call__(
@@ -187,6 +205,7 @@ class DiT(nn.Module):
         drop_text: jnp.ndarray | bool = False,
         deterministic: bool = True,
         text_embed: jnp.ndarray | None = None,
+        t_mods: tuple[jnp.ndarray, jnp.ndarray] | None = None,
     ) -> jnp.ndarray:
         """Predict the velocity field [B, T, mel_dim].
 
@@ -194,16 +213,21 @@ class DiT(nn.Module):
             x: noised mel [B, T, mel_dim]; cond: conditioning mel [B, T, mel_dim]
             text_ids: [B, Nt]; time: [B] or scalar; mask: valid frames [B, T]
             text_embed: precomputed by embed_text() to skip the text encoder
+            t_mods: precomputed (block_mods, final_mods) for this timestep
+                (precompute_t_mods); skips time_embed and every AdaLN matmul
         """
-        if time.ndim == 0:
-            time = jnp.broadcast_to(time, (x.shape[0],))
-        t = self.time_embed(time)
+        if t_mods is not None:
+            t = None
+        else:
+            if time.ndim == 0:
+                time = jnp.broadcast_to(time, (x.shape[0],))
+            t = self.time_embed(time)
         if text_embed is None:
             text_embed = self.embed_text(text_ids, x.shape[1], drop_text=drop_text)
         h = self.input_embed(
             x, cond, text_embed, drop_audio_cond=drop_audio_cond, mask=mask
         )
-        return self._transformer(h, t, mask, deterministic)
+        return self._transformer(h, t, mask, deterministic, t_mods=t_mods)
 
     def forward_cfg(
         self,
@@ -213,17 +237,27 @@ class DiT(nn.Module):
         text_embed_uncond: jnp.ndarray,
         time: jnp.ndarray,
         mask: jnp.ndarray | None = None,
+        t_mods: tuple[jnp.ndarray, jnp.ndarray] | None = None,
     ) -> tuple[jnp.ndarray, jnp.ndarray]:
         """CFG double-batch: one transformer pass over [cond; uncond].
 
         Mirrors reference dit.py:200-215 — the unconditional branch zeroes the
         audio conditioning and uses the dropped-text embedding.
 
+        With ``t_mods`` (precompute_t_mods output for this step) the
+        timestep MLP and all AdaLN projections are skipped — both CFG rows
+        share the step's t, so one precomputed modulation row broadcasts
+        over the doubled batch.
+
         Returns (pred, null_pred), each [B, T, mel_dim].
         """
-        if time.ndim == 0:
-            time = jnp.broadcast_to(time, (x.shape[0],))
-        t = self.time_embed(time)
+        if t_mods is not None:
+            t2 = None
+        else:
+            if time.ndim == 0:
+                time = jnp.broadcast_to(time, (x.shape[0],))
+            t = self.time_embed(time)
+            t2 = jnp.concatenate([t, t], axis=0)
 
         h_cond = self.input_embed(
             x, cond, text_embed_cond, drop_audio_cond=False, mask=mask
@@ -232,9 +266,8 @@ class DiT(nn.Module):
             x, cond, text_embed_uncond, drop_audio_cond=True, mask=mask
         )
         h = jnp.concatenate([h_cond, h_uncond], axis=0)
-        t2 = jnp.concatenate([t, t], axis=0)
         mask2 = None if mask is None else jnp.concatenate([mask, mask], axis=0)
-        out = self._transformer(h, t2, mask2, deterministic=True)
+        out = self._transformer(h, t2, mask2, deterministic=True, t_mods=t_mods)
         b = x.shape[0]
         return out[:b], out[b:]
 
@@ -270,6 +303,58 @@ def unstack_block_params(params: dict, depth: int) -> dict:
             lambda x, i=i: x[i], stacked
         )
     return out
+
+
+def precompute_t_mods(
+    params: dict,
+    t_emb: jnp.ndarray,
+    depth: int,
+    scan_blocks: bool,
+    dtype: Any = jnp.float32,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """AdaLN modulation tables for a whole (static) timestep schedule.
+
+    Every t-dependent matmul in a DiT forward — the per-block
+    ``AdaLayerNorm`` ``Dense(6·dim)`` and the final ``Dense(2·dim)`` —
+    depends only on the timestep, never on x. During sampling the timestep
+    grid is known before the Euler loop, so these are evaluated here ONCE
+    for all S steps and the loop body just slices a row per step:
+    per DiT forward that removes ~dim·6·dim·depth weight bytes of HBM
+    traffic (~1/3 of Base's total weight reads; the AdaLN matmuls run at
+    M=2 rows, pure bandwidth). The reference recomputes them per step
+    (/root/reference/src/models/modules.py:202-219 inside every block
+    forward).
+
+    Args:
+        params: DiT "params" collection (either block layout).
+        t_emb: [S, dim] — ``DiT.embed_time`` over the step grid.
+        depth/scan_blocks: the model's block layout.
+        dtype: the model compute dtype (matches nn.Dense promotion).
+
+    Returns:
+        (block_mods [depth, S, 6·dim], final_mods [S, 2·dim]) — at step i
+        pass ``(block_mods[:, i], final_mods[i])`` as ``t_mods``.
+    """
+    act = nn.silu(t_emb).astype(dtype)
+
+    def dense(x, layer):  # nn.Dense numerics: promote all operands to dtype
+        return x @ layer["kernel"].astype(dtype) + layer["bias"].astype(dtype)
+
+    if scan_blocks:
+        lin = params["blocks"]["attn_norm"]["linear"]
+        block_mods = (
+            jnp.einsum("sd,zdk->zsk", act, lin["kernel"].astype(dtype))
+            + lin["bias"].astype(dtype)[:, None, :]
+        )
+    else:
+        block_mods = jnp.stack(
+            [
+                dense(act, params[f"block{i}"]["attn_norm"]["linear"])
+                for i in range(depth)
+            ]
+        )
+    final_mods = dense(act, params["norm_out"]["linear"])
+    return block_mods, final_mods
 
 
 def adapt_block_layout(params: dict, depth: int, scan_blocks: bool) -> dict:

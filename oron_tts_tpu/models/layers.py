@@ -332,22 +332,33 @@ class ConvNeXtV2Block(nn.Module):
 
 
 class AdaLayerNorm(nn.Module):
-    """6-parameter AdaLN producing MSA shift/scale/gate and MLP shift/scale/gate."""
+    """6-parameter AdaLN producing MSA shift/scale/gate and MLP shift/scale/gate.
+
+    ``mods`` overrides the ``Dense(silu(emb))`` projection with a
+    precomputed modulation row — the sampler hoists these matmuls out of
+    the Euler loop because they depend only on the (static) timestep
+    schedule, not on x (see dit.py precompute_t_mods). A 1-D row is
+    broadcast over the batch (every CFG row shares the step's t).
+    """
 
     dim: int
     dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(
-        self, x: jnp.ndarray, emb: jnp.ndarray
+        self, x: jnp.ndarray, emb: jnp.ndarray | None,
+        mods: jnp.ndarray | None = None,
     ) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
-        mods = nn.Dense(
-            self.dim * 6,
-            kernel_init=nn.initializers.zeros,
-            bias_init=nn.initializers.zeros,
-            dtype=self.dtype,
-            name="linear",
-        )(nn.silu(emb))
+        if mods is None:
+            mods = nn.Dense(
+                self.dim * 6,
+                kernel_init=nn.initializers.zeros,
+                bias_init=nn.initializers.zeros,
+                dtype=self.dtype,
+                name="linear",
+            )(nn.silu(emb))
+        elif mods.ndim == 1:
+            mods = mods[None, :]
         shift_msa, scale_msa, gate_msa, shift_mlp, scale_mlp, gate_mlp = jnp.split(
             mods, 6, axis=-1
         )
@@ -359,18 +370,24 @@ class AdaLayerNorm(nn.Module):
 
 
 class AdaLayerNormFinal(nn.Module):
+    """2-parameter final AdaLN; ``mods`` overrides like AdaLayerNorm."""
+
     dim: int
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, emb: jnp.ndarray) -> jnp.ndarray:
-        mods = nn.Dense(
-            self.dim * 2,
-            kernel_init=nn.initializers.zeros,
-            bias_init=nn.initializers.zeros,
-            dtype=self.dtype,
-            name="linear",
-        )(nn.silu(emb))
+    def __call__(self, x: jnp.ndarray, emb: jnp.ndarray | None,
+                 mods: jnp.ndarray | None = None) -> jnp.ndarray:
+        if mods is None:
+            mods = nn.Dense(
+                self.dim * 2,
+                kernel_init=nn.initializers.zeros,
+                bias_init=nn.initializers.zeros,
+                dtype=self.dtype,
+                name="linear",
+            )(nn.silu(emb))
+        elif mods.ndim == 1:
+            mods = mods[None, :]
         scale, shift = jnp.split(mods, 2, axis=-1)
         normed = nn.LayerNorm(
             use_bias=False, use_scale=False, epsilon=1e-6, dtype=self.dtype
@@ -520,14 +537,15 @@ class DiTBlock(nn.Module):
     def __call__(
         self,
         x: jnp.ndarray,
-        t: jnp.ndarray,
+        t: jnp.ndarray | None,
         mask: jnp.ndarray | None = None,
         rope: tuple[jnp.ndarray, jnp.ndarray] | None = None,
         deterministic: bool = True,
+        tmods: jnp.ndarray | None = None,
     ) -> jnp.ndarray:
         normed, gate_msa, shift_mlp, scale_mlp, gate_mlp = AdaLayerNorm(
             self.dim, dtype=self.dtype, name="attn_norm"
-        )(x, t)
+        )(x, t, mods=tmods)
         attn_out = Attention(
             dim=self.dim,
             heads=self.heads,
