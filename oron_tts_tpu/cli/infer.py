@@ -6,12 +6,16 @@ from pathlib import Path
 
 def load_model(checkpoint_path: str, use_ema: bool = True,
                scan_blocks: bool | None = None,
-               precision: str | None = None):
+               precision: str | None = None,
+               quantize: str | None = None):
     """Load F5TTS from a native .npz / torch .pt checkpoint or a directory.
 
     scan_blocks=True iterates the DiT blocks with lax.scan — identical
     numerics, ~depth× faster cold compile (recommended for serving);
     None defers to the checkpoint config's model.scan_blocks.
+    quantize: "int8" (w8a16, near-lossless) or "int8_dynamic" (w8a8,
+    int8 MXU at 2x bf16 peak) converts the hot DiT projections to int8
+    in memory after loading (F5TTS.quantize_for_serving).
     precision: None = the F5TTS default (bf16 compute on TPU, f32 on CPU);
     "float32" forces f32 compute everywhere. Under bf16 compute, loaded
     params are STORED bf16 too — the compute path casts them to bf16 at
@@ -84,6 +88,10 @@ def load_model(checkpoint_path: str, use_ema: bool = True,
         print("Params stored bf16 (identical outputs under bf16 compute; "
               "halves weight HBM + bandwidth) — use precision='float32' "
               "for f32 end to end")
+    if quantize:
+        model.quantize_for_serving(quantize)
+        print(f"DiT attention/FFN projections quantized for serving: "
+              f"{quantize} (in-memory only; checkpoint unchanged)")
     return model
 
 
@@ -134,7 +142,15 @@ def main() -> None:
                         help="Multi-chip serving mesh as DPxTP (e.g. 2x4): "
                              "batch rows shard over DP, attention/FFN "
                              "projections over TP")
+    parser.add_argument("--quantize", type=str, default=None,
+                        choices=["int8", "int8_dynamic"],
+                        help="Serve the DiT projections in int8: 'int8' = "
+                             "w8a16 (near-lossless, halves weight HBM), "
+                             "'int8_dynamic' = w8a8 (int8 MXU at 2x bf16 "
+                             "peak). Single-device only; excludes --mesh")
     args = parser.parse_args()
+    if args.quantize and args.mesh:
+        parser.error("--quantize is single-device; drop --mesh")
 
     if args.device:
         import jax
@@ -157,7 +173,8 @@ def main() -> None:
 
     model = load_model(args.checkpoint, use_ema=not args.no_ema,
                        scan_blocks=args.scan_blocks,
-                       precision="float32" if args.fp32 else None)
+                       precision="float32" if args.fp32 else None,
+                       quantize=args.quantize)
     if args.vocoder:
         model.load_vocoder(args.vocoder)
     if args.mesh:

@@ -415,6 +415,10 @@ def main() -> None:
                              "lax.scan (identical numerics; scan compiles "
                              "~depth× faster, so it is the serving default)")
     parser.add_argument("--device", type=str, default=None)
+    parser.add_argument("--quantize", type=str, default=None,
+                        choices=["int8", "int8_dynamic"],
+                        help="Serve the DiT projections in int8 (w8a16 / "
+                             "w8a8); single-device only, excludes --mesh")
     parser.add_argument("--fp32", action="store_true",
                         help="Force float32 compute + params (default: "
                              "bf16 on TPU — the measured configuration)")
@@ -433,9 +437,14 @@ def main() -> None:
     enable_compilation_cache()
     from oron_tts_tpu.cli.infer import load_model
 
+    if args.quantize and args.mesh:
+        parser.error("--quantize is single-device; drop --mesh")
     _model = load_model(args.checkpoint, use_ema=not args.no_ema,
                         scan_blocks=not args.no_scan_blocks,
-                        precision="float32" if args.fp32 else None)
+                        precision="float32" if args.fp32 else None,
+                        quantize=args.quantize)
+    if args.quantize:
+        _meta["quantize"] = args.quantize
     if args.vocoder:
         _model.load_vocoder(args.vocoder)
     if args.mesh:

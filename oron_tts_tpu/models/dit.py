@@ -79,6 +79,7 @@ class DiT(nn.Module):
     scan_blocks: bool = False
     conv_impl: str = "xla"
     remat_policy: str | None = None
+    quant: str | None = None  # "int8" | "int8_dynamic" — serving-only
 
     def setup(self) -> None:
         self.time_embed = TimestepEmbedding(self.dim, dtype=self.dtype)
@@ -101,6 +102,7 @@ class DiT(nn.Module):
             dtype=self.dtype,
             use_flash=self.use_flash,
             attn_impl=self.attn_impl,
+            quant=self.quant,
         )
         if self.scan_blocks:
             # One block traced/compiled once, iterated by lax.scan over a
@@ -303,6 +305,41 @@ def unstack_block_params(params: dict, depth: int) -> dict:
             lambda x, i=i: x[i], stacked
         )
     return out
+
+
+_QUANT_TARGETS = frozenset(
+    {"to_q", "to_k", "to_v", "to_out", "in_proj", "out_proj"}
+)
+
+
+def quantize_dit_params(params: dict) -> dict:
+    """Convert DiT params to the QDense layout (serving-time, in-memory).
+
+    Every attention/FFN projection kernel (`_QUANT_TARGETS` — the hot
+    Linears; AdaLN is hoisted out of the loop instead, precompute_t_mods)
+    becomes ``kernel_q`` int8 + per-output-channel ``scale`` f32; biases
+    and everything else pass through. Works on both block layouts (the
+    stacked scan layout quantizes per (depth, channel)). Checkpoints on
+    disk are never quantized — this runs after load, keeping the
+    reference's full-precision checkpoint contract
+    (/root/reference/src/utils/checkpoint.py).
+    """
+    from collections.abc import Mapping
+
+    from oron_tts_tpu.ops.quantized_matmul import quantize_weight
+
+    def walk(node: Any, name: str) -> Any:
+        if isinstance(node, Mapping):
+            if name in _QUANT_TARGETS and "kernel" in node:
+                q, s = quantize_weight(node["kernel"])
+                out = {"kernel_q": q, "scale": s}
+                if "bias" in node:
+                    out["bias"] = node["bias"]
+                return out
+            return {k: walk(v, k) for k, v in node.items()}
+        return node
+
+    return walk(params, "")
 
 
 def precompute_t_mods(

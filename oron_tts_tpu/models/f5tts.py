@@ -166,6 +166,7 @@ class F5TTS:
         self._vocoder = None  # (module, variables) or "griffin_lim"
         self._sample_cache: dict[tuple, Any] = {}
         self._mesh = None  # jax.sharding.Mesh for multi-chip serving
+        self.quant_mode: str | None = None  # set by quantize_for_serving
 
     @property
     def variables(self) -> dict[str, Any] | None:
@@ -202,6 +203,12 @@ class F5TTS:
         replicated — its cost is ~2% of the CFG Euler solve. Pass
         ``mesh=None`` to return to single-device serving.
         """
+        if mesh is not None and getattr(self, "quant_mode", None):
+            raise NotImplementedError(
+                "int8 serving is single-device for now (no GSPMD rule for "
+                "the quantized matmul kernel); reload full-precision "
+                "weights before set_mesh"
+            )
         self._mesh = mesh
         self._sample_cache.clear()
         if mesh is None:
@@ -236,6 +243,39 @@ class F5TTS:
             for k, v in variables.items()
         }
         return jax.device_put(variables, shardings)
+
+    def quantize_for_serving(self, mode: str = "int8") -> None:
+        """Switch the loaded model to int8-weight serving (in-memory only).
+
+        ``mode="int8"``: w8a16 — int8 weights dequantized inside a Pallas
+        matmul kernel (halves weight HBM footprint and traffic vs bf16,
+        near-lossless). ``mode="int8_dynamic"``: w8a8 — additionally
+        runs the s8×s8 MXU dot at 2× bf16 peak with dynamic per-token
+        activation scales (larger numeric error; throughput mode). See
+        ops/quantized_matmul.py. Checkpoints on disk stay full precision;
+        call this after loading. No reference analogue (the reference
+        serves fp32/fp16 torch weights).
+        """
+        if mode not in ("int8", "int8_dynamic"):
+            raise ValueError(f"unknown quant mode: {mode!r}")
+        if self._variables is None:
+            raise RuntimeError("load or init params before quantizing")
+        if self._mesh is not None:
+            raise NotImplementedError(
+                "int8 serving is single-device for now: the quantized "
+                "matmul kernel has no GSPMD partitioning rule; call "
+                "set_mesh(None) first"
+            )
+        from oron_tts_tpu.models.dit import quantize_dit_params
+
+        self.backbone = self.backbone.clone(quant=mode)
+        self.cfm = CFM(self.backbone, self.cfm.config)
+        self._variables = {
+            **self._variables,
+            "params": quantize_dit_params(self._variables["params"]),
+        }
+        self._sample_cache.clear()
+        self.quant_mode = mode
 
     def _bucket(self, n: int) -> int:
         """Round a frame count up to the jit-cache bucket multiple."""

@@ -395,6 +395,62 @@ class AdaLayerNormFinal(nn.Module):
         return normed * (1 + scale)[:, None] + shift[:, None]
 
 
+class QDense(nn.Module):
+    """Dense with int8 weights for serving (ops/quantized_matmul.py).
+
+    Drop-in for nn.Dense once the params are converted by
+    dit.quantize_dit_params: ``kernel`` [K, N] becomes ``kernel_q`` int8
+    [K, N] + ``scale`` f32 [N] (per-output-channel symmetric); ``bias``
+    is unchanged. ``mode="int8"`` = w8a16 Pallas dequant-in-kernel;
+    ``mode="int8_dynamic"`` = w8a8 dynamic-activation int8 MXU dot.
+    Inference-only: there is deliberately no VJP.
+    """
+
+    features: int
+    dtype: Dtype = jnp.float32
+    mode: str = "int8"
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        from oron_tts_tpu.ops.quantized_matmul import (
+            quantized_matmul,
+            quantized_matmul_ref,
+            w8a8_matmul,
+        )
+
+        in_features = x.shape[-1]
+        kernel_q = self.param(
+            "kernel_q", nn.initializers.zeros,
+            (in_features, self.features), jnp.int8,
+        )
+        scale = self.param(
+            "scale", nn.initializers.ones, (self.features,), jnp.float32
+        )
+        bias = self.param(
+            "bias", nn.initializers.zeros, (self.features,), jnp.float32
+        )
+        x = x.astype(self.dtype)
+        if self.mode == "int8_dynamic":
+            y = w8a8_matmul(x, kernel_q, scale)
+        elif self.mode == "int8":
+            if jax.default_backend() == "tpu":
+                y = quantized_matmul(x, kernel_q, scale)
+            else:
+                y = quantized_matmul_ref(x, kernel_q, scale)
+        else:
+            raise ValueError(f"unknown quant mode: {self.mode!r}")
+        return y + bias.astype(y.dtype)
+
+
+def make_dense(
+    features: int, dtype: Dtype, name: str, quant: str | None = None
+) -> nn.Module:
+    """nn.Dense, or QDense when a quant mode is set (serving-only)."""
+    if quant:
+        return QDense(features, dtype=dtype, mode=quant, name=name)
+    return nn.Dense(features, dtype=dtype, name=name)
+
+
 class Attention(nn.Module):
     """Bidirectional self-attention with RoPE and key-padding masking.
 
@@ -413,6 +469,7 @@ class Attention(nn.Module):
     dtype: Dtype = jnp.float32
     use_flash: bool = False
     attn_impl: str | None = None
+    quant: str | None = None
 
     @nn.compact
     def __call__(
@@ -442,9 +499,9 @@ class Attention(nn.Module):
                     )
                 impl = "flash"
 
-        qf = nn.Dense(inner, dtype=self.dtype, name="to_q")(x)
-        kf = nn.Dense(inner, dtype=self.dtype, name="to_k")(x)
-        vf = nn.Dense(inner, dtype=self.dtype, name="to_v")(x)
+        qf = make_dense(inner, self.dtype, "to_q", self.quant)(x)
+        kf = make_dense(inner, self.dtype, "to_k", self.quant)(x)
+        vf = make_dense(inner, self.dtype, "to_v", self.quant)(x)
 
         # padding is a length prefix throughout the framework
         kv_lens = (
@@ -501,7 +558,7 @@ class Attention(nn.Module):
                 out = jnp.einsum("bhts,bhsd->bhtd", probs, v)
             out = out.transpose(0, 2, 1, 3).reshape(B, T, inner)
 
-        out = nn.Dense(self.dim, dtype=self.dtype, name="to_out")(out)
+        out = make_dense(self.dim, self.dtype, "to_out", self.quant)(out)
         out = nn.Dropout(self.dropout)(out, deterministic=deterministic)
         if mask is not None:
             out = jnp.where(mask[..., None], out, 0.0)
@@ -513,14 +570,15 @@ class FeedForward(nn.Module):
     mult: int = 4
     dropout: float = 0.0
     dtype: Dtype = jnp.float32
+    quant: str | None = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, deterministic: bool = True) -> jnp.ndarray:
         inner = int(self.dim * self.mult)
-        x = nn.Dense(inner, dtype=self.dtype, name="in_proj")(x)
+        x = make_dense(inner, self.dtype, "in_proj", self.quant)(x)
         x = nn.gelu(x, approximate=True)
         x = nn.Dropout(self.dropout)(x, deterministic=deterministic)
-        return nn.Dense(self.dim, dtype=self.dtype, name="out_proj")(x)
+        return make_dense(self.dim, self.dtype, "out_proj", self.quant)(x)
 
 
 class DiTBlock(nn.Module):
@@ -532,6 +590,7 @@ class DiTBlock(nn.Module):
     dtype: Dtype = jnp.float32
     use_flash: bool = False
     attn_impl: str | None = None
+    quant: str | None = None
 
     @nn.compact
     def __call__(
@@ -554,6 +613,7 @@ class DiTBlock(nn.Module):
             dtype=self.dtype,
             use_flash=self.use_flash,
             attn_impl=self.attn_impl,
+            quant=self.quant,
             name="attn",
         )(normed, mask=mask, rope=rope, deterministic=deterministic)
         x = x + gate_msa[:, None] * attn_out
@@ -565,6 +625,6 @@ class DiTBlock(nn.Module):
         ff_normed = ff_normed * (1 + scale_mlp[:, None]) + shift_mlp[:, None]
         ff_out = FeedForward(
             dim=self.dim, mult=self.ff_mult, dropout=self.dropout,
-            dtype=self.dtype, name="ff",
+            dtype=self.dtype, quant=self.quant, name="ff",
         )(ff_normed, deterministic=deterministic)
         return x + gate_mlp[:, None] * ff_out
