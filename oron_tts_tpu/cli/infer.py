@@ -145,12 +145,13 @@ def main() -> None:
     parser.add_argument("--quantize", type=str, default=None,
                         choices=["int8", "int8_dynamic"],
                         help="Serve the DiT projections in int8: 'int8' = "
-                             "w8a16 (near-lossless, halves weight HBM), "
-                             "'int8_dynamic' = w8a8 (int8 MXU at 2x bf16 "
-                             "peak). Single-device only; excludes --mesh")
+                             "w8a16 (near-lossless, halves weight HBM; "
+                             "single-device), 'int8_dynamic' = w8a8 (int8 "
+                             "MXU at 2x bf16 peak; composes with --mesh)")
     args = parser.parse_args()
-    if args.quantize and args.mesh:
-        parser.error("--quantize is single-device; drop --mesh")
+    if args.quantize == "int8" and args.mesh:
+        parser.error("--quantize int8 (w8a16 Pallas) is single-device; "
+                     "use int8_dynamic with --mesh")
 
     if args.device:
         import jax

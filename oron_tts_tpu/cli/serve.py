@@ -417,8 +417,9 @@ def main() -> None:
     parser.add_argument("--device", type=str, default=None)
     parser.add_argument("--quantize", type=str, default=None,
                         choices=["int8", "int8_dynamic"],
-                        help="Serve the DiT projections in int8 (w8a16 / "
-                             "w8a8); single-device only, excludes --mesh")
+                        help="Serve the DiT projections in int8: 'int8' = "
+                             "w8a16 (single-device), 'int8_dynamic' = "
+                             "w8a8 (composes with --mesh)")
     parser.add_argument("--fp32", action="store_true",
                         help="Force float32 compute + params (default: "
                              "bf16 on TPU — the measured configuration)")
@@ -437,8 +438,9 @@ def main() -> None:
     enable_compilation_cache()
     from oron_tts_tpu.cli.infer import load_model
 
-    if args.quantize and args.mesh:
-        parser.error("--quantize is single-device; drop --mesh")
+    if args.quantize == "int8" and args.mesh:
+        parser.error("--quantize int8 (w8a16 Pallas) is single-device; "
+                     "use int8_dynamic with --mesh")
     _model = load_model(args.checkpoint, use_ema=not args.no_ema,
                         scan_blocks=not args.no_scan_blocks,
                         precision="float32" if args.fp32 else None,

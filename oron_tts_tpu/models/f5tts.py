@@ -203,11 +203,12 @@ class F5TTS:
         replicated — its cost is ~2% of the CFG Euler solve. Pass
         ``mesh=None`` to return to single-device serving.
         """
-        if mesh is not None and getattr(self, "quant_mode", None):
+        if mesh is not None and getattr(self, "quant_mode", None) == "int8":
             raise NotImplementedError(
-                "int8 serving is single-device for now (no GSPMD rule for "
-                "the quantized matmul kernel); reload full-precision "
-                "weights before set_mesh"
+                "w8a16 int8 serving is single-device (its Pallas kernel "
+                "has no GSPMD partitioning rule); use mode='int8_dynamic' "
+                "— a plain XLA s8 dot that shards like any matmul — or "
+                "reload full-precision weights before set_mesh"
             )
         self._mesh = mesh
         self._sample_cache.clear()
@@ -255,25 +256,33 @@ class F5TTS:
         ops/quantized_matmul.py. Checkpoints on disk stay full precision;
         call this after loading. No reference analogue (the reference
         serves fp32/fp16 torch weights).
+
+        Composes with ``set_mesh`` for ``int8_dynamic`` only: its s8 dot
+        is plain XLA ``dot_general`` and shards under the Megatron rules
+        (parallel/mesh.py — ``kernel_q`` mirrors ``kernel``, the
+        per-output-channel ``scale`` follows the N axis). The w8a16
+        Pallas kernel has no GSPMD partitioning rule, so ``int8`` stays
+        single-device.
         """
         if mode not in ("int8", "int8_dynamic"):
             raise ValueError(f"unknown quant mode: {mode!r}")
         if self._variables is None:
             raise RuntimeError("load or init params before quantizing")
-        if self._mesh is not None:
+        if self._mesh is not None and mode == "int8":
             raise NotImplementedError(
-                "int8 serving is single-device for now: the quantized "
-                "matmul kernel has no GSPMD partitioning rule; call "
-                "set_mesh(None) first"
+                "w8a16 int8 serving is single-device (its Pallas kernel "
+                "has no GSPMD partitioning rule); use 'int8_dynamic' "
+                "under a mesh, or call set_mesh(None) first"
             )
         from oron_tts_tpu.models.dit import quantize_dit_params
 
         self.backbone = self.backbone.clone(quant=mode)
         self.cfm = CFM(self.backbone, self.cfm.config)
-        self._variables = {
-            **self._variables,
-            "params": quantize_dit_params(self._variables["params"]),
-        }
+        params = quantize_dit_params(self._variables["params"])
+        variables = {**self._variables, "params": params}
+        if self._mesh is not None:
+            variables = self._shard_variables(variables)
+        self._variables = variables
         self._sample_cache.clear()
         self.quant_mode = mode
 

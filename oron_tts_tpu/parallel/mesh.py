@@ -28,6 +28,16 @@ _PARAM_RULES: list[tuple[str, P]] = [
     (r"ff/in_proj/kernel$", P(None, "model")),
     (r"ff/in_proj/bias$", P("model")),
     (r"ff/out_proj/kernel$", P("model", None)),
+    # int8 serving (w8a8, models/layers.py QDense): kernel_q mirrors the
+    # full-precision kernel; the per-OUTPUT-channel scale [N] follows the
+    # kernel's N axis — sharded for column-parallel layers, replicated
+    # for row-parallel ones (their N axis is unsharded)
+    (r"attn/to_[qkv]/kernel_q$", P(None, "model")),
+    (r"attn/to_[qkv]/scale$", P("model")),
+    (r"attn/to_out/kernel_q$", P("model", None)),
+    (r"ff/in_proj/kernel_q$", P(None, "model")),
+    (r"ff/in_proj/scale$", P("model")),
+    (r"ff/out_proj/kernel_q$", P("model", None)),
 ]
 
 

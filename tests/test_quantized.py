@@ -151,7 +151,8 @@ def test_quantize_guards():
     with pytest.raises(ValueError):
         model.quantize_for_serving("int4")
     model.quantize_for_serving("int8")
-    # quant + mesh are mutually exclusive (no GSPMD rule for the kernel)
+    # w8a16 + mesh are mutually exclusive (no GSPMD rule for the Pallas
+    # kernel); w8a8 composes (tested below)
     from oron_tts_tpu.parallel.mesh import make_mesh
 
     mesh = make_mesh(1, 1, devices=jax.devices()[:1])
@@ -161,3 +162,65 @@ def test_quantize_guards():
     fresh.set_mesh(mesh)
     with pytest.raises(NotImplementedError):
         fresh.quantize_for_serving("int8")
+
+
+def _tiny_serving_model(mesh=None, quant=None):
+    from oron_tts_tpu.config import F5Config
+    from oron_tts_tpu.models.f5tts import F5TTS
+    from oron_tts_tpu.models.vocos import VocosDecoder
+
+    cfg = {"model": {**TINY, "heads": 4, "conv_layers": 1}}
+    model = F5TTS.from_config(F5Config.from_dict(cfg))
+    model.init_params(0)
+    if quant:
+        model.quantize_for_serving(quant)
+    if mesh is not None:
+        model.set_mesh(mesh)
+    vocoder = VocosDecoder(dim=32, n_layers=1, intermediate_dim=64)
+    voc_vars = vocoder.init(
+        jax.random.PRNGKey(1), jnp.zeros((1, 100, 16), jnp.float32)
+    )
+    model.set_vocoder(vocoder, voc_vars)
+    return model
+
+
+def test_w8a8_mesh_serving_matches_single_device():
+    """int8_dynamic composes with the dp x tp serving mesh.
+
+    The s8 dot is plain XLA dot_general, so GSPMD shards it under the
+    kernel_q/scale rules (parallel/mesh.py): the row-parallel layers
+    psum exact int32 partials and the per-token amax all-reduces, so the
+    quantized math matches single-device up to f32 reduction reordering
+    in the surrounding full-precision ops.
+    """
+    from oron_tts_tpu.parallel.mesh import make_mesh, param_specs
+    from jax.sharding import PartitionSpec as P
+
+    texts = [f"сайн байна уу та нар {i}" for i in range(8)]
+    ref = _tiny_serving_model(None, "int8_dynamic").synthesize_batch(
+        texts, n_steps=2, seed=0
+    )
+    tp = _tiny_serving_model(make_mesh(4, 2), "int8_dynamic")
+    # the quantized leaves got real TP specs, not the P() fallback
+    specs = param_specs(tp.variables["params"])
+    assert specs["block0"]["attn"]["to_q"]["kernel_q"] == P(None, "model")
+    assert specs["block0"]["attn"]["to_q"]["scale"] == P("model")
+    assert specs["block0"]["ff"]["out_proj"]["kernel_q"] == P("model", None)
+    assert specs["block0"]["ff"]["out_proj"]["scale"] == P()
+    out = tp.synthesize_batch(texts, n_steps=2, seed=0)
+    assert len(ref) == len(out) == 8
+    for a, b in zip(ref, out):
+        assert a.shape == b.shape
+        np.testing.assert_allclose(a, b, atol=2e-3)
+
+
+def test_w8a8_quantize_after_set_mesh():
+    """quantize_for_serving('int8_dynamic') re-shards when a mesh is live."""
+    from oron_tts_tpu.parallel.mesh import make_mesh
+
+    model = _tiny_serving_model(None)
+    model.set_mesh(make_mesh(4, 2))
+    model.quantize_for_serving("int8_dynamic")
+    wav = model.synthesize("сайн байна уу", n_steps=2, seed=0)
+    assert wav.ndim == 1 and wav.size > 0
+    assert np.isfinite(wav).all()
