@@ -243,9 +243,15 @@ class Handler(BaseHTTPRequestHandler):
     def do_POST(self):
         try:
             length = int(self.headers.get("Content-Length", 0))
-            if length > self.MAX_BODY_BYTES:
-                self._json(413, {"error": f"body too large ({length} bytes; "
-                                          f"max {self.MAX_BODY_BYTES})"})
+            if length < 0 or length > self.MAX_BODY_BYTES:
+                # out-of-range body: the declared bytes are NOT drained, so
+                # the connection must close — otherwise the next keep-alive
+                # request parses the unread body as its request line
+                # (desync); rfile.read(-1) would also block forever
+                self.close_connection = True
+                self._json(413, {"error": f"body size {length} out of "
+                                          f"range (max {self.MAX_BODY_BYTES}"
+                                          f" bytes)"})
                 return
             req = json.loads(self.rfile.read(length) or b"{}")
         except (ValueError, json.JSONDecodeError):

@@ -806,8 +806,8 @@ class F5TTS:
                 f"seeds must have one entry per text: {len(seeds)} != {len(texts)}"
             )
         if seeds is None:
-            base = 0 if seed is None else seed
-            seeds = [base + i for i in range(len(texts))]
+            # one seed per text, derived like chunk seeds (base + index)
+            seeds = _chunk_seeds(seed, len(texts))
 
         # flatten every text's chunks into one row set
         max_chars = max_chars_per_chunk or 0
@@ -822,11 +822,10 @@ class F5TTS:
             cs = [c for c in cs if c]
             if not cs:
                 raise ValueError(f"texts[{i}] must not be empty")
-            for ci, c in enumerate(cs):
-                chunk_texts.append(c)
-                owner.append(i)
-                # the serial chunk-seed rule per text: seeds[i] + chunk idx
-                row_seeds.append(seeds[i] + ci)
+            chunk_texts.extend(cs)
+            owner.extend([i] * len(cs))
+            # the serial chunk-seed rule per text (solo/batched parity)
+            row_seeds.extend(_chunk_seeds(seeds[i], len(cs)))
 
         if ref_text:
             self._warn_lang_contamination(ref_text, lang)

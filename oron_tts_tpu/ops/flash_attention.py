@@ -421,11 +421,15 @@ def _flash_lanes_kernel(
 
 
 def _lanes_block_q(T: int, budget_bytes: int) -> int:
+    """Largest divisor of T within the f32-score-tile VMEM budget.
+
+    Must DIVIDE T: the grid is (…, T // block_q) and a non-dividing
+    block would leave the last T % block_q rows unwritten (silent
+    garbage in outputs/gradients). Every T has divisor 1, so this never
+    falls back to a non-divisor; sub-8 blocks are rare (prime-ish T
+    outside the padded product paths) and merely slow."""
     max_q = max(budget_bytes // (T * 4), 8)
-    return next(
-        (d for d in sorted((d for d in range(8, T + 1) if T % d == 0),
-                           reverse=True) if d <= max_q), 8
-    )
+    return max(d for d in range(1, min(T, max_q) + 1) if T % d == 0)
 
 
 @functools.partial(jax.jit, static_argnames=("heads", "interpret"))

@@ -956,10 +956,27 @@ class F5Trainer:
             k: info.get(k) if found and info.get(k) is not None else template[k]
             for k in ("params", "ema", "opt")
         }
-        # normalize leaves to ndarrays with rank-0's values winning
-        synced = multihost_utils.broadcast_one_to_all(
-            jax.tree_util.tree_map(np.asarray, local)
+        # Broadcast the CANONICAL flat path→array form (the on-disk
+        # contract, checkpoint.flatten_tree) rather than the raw pytrees:
+        # rank 0 holds nested dicts/lists from unflatten_tree while
+        # checkpoint-less hosts hold optax namedtuples, and
+        # broadcast_one_to_all matches leaves purely by position. The
+        # positional orders do agree today (tuple levels flatten in field
+        # order on both sides), but the flat form makes the match by PATH
+        # and turns any future structure drift into a loud treedef error
+        # instead of silently swapping same-shaped moment tensors. It also
+        # gives every host the same nested-dict view a checkpoint-ful
+        # host gets from CheckpointManager.load.
+        from oron_tts_tpu.train.checkpoint import (
+            flatten_tree,
+            unflatten_tree,
         )
+
+        local_flat = {
+            k: dict(sorted(flatten_tree(v).items())) for k, v in local.items()
+        }
+        synced_flat = multihost_utils.broadcast_one_to_all(local_flat)
+        synced = {k: unflatten_tree(v) for k, v in synced_flat.items()}
         step_val = int(meta[1])
         best = float(meta[3])
         out = dict(info)

@@ -165,3 +165,30 @@ def test_dit_block_lanes_matches_einsum():
     leaves = jax.tree_util.tree_leaves(g)
     assert all(np.isfinite(np.asarray(x)).all() for x in leaves)
     assert any(float(jnp.abs(x).sum()) > 0 for x in leaves)
+
+
+def test_lanes_block_q_always_divides():
+    """block_q must divide T or the grid leaves tail rows unwritten
+    (silent garbage); T with no divisor >= 8 (primes, 2*prime) must fall
+    back to a smaller DIVISOR, never to a non-dividing 8."""
+    from oron_tts_tpu.ops.flash_attention import _lanes_block_q
+
+    for T in (7, 8, 64, 127, 2053, 4106, 1600, 4096):
+        for budget in (1536 * 1024, 9 * 1024 * 1024):
+            bq = _lanes_block_q(T, budget)
+            assert 1 <= bq <= T and T % bq == 0, (T, budget, bq)
+
+
+def test_lanes_forward_odd_t():
+    """T=94 (=2*47, largest divisor under any sane budget is 47 or 2)
+    exercises the non-multiple-of-8 fallback path end to end."""
+    rng = np.random.default_rng(5)
+    B, T, heads, D = 1, 94, 2, 64
+    HD = heads * D
+    q = rng.standard_normal((B, T, HD)).astype(np.float32)
+    k = rng.standard_normal((B, T, HD)).astype(np.float32)
+    v = rng.standard_normal((B, T, HD)).astype(np.float32)
+    lens = jnp.asarray([T - 11], jnp.int32)
+    out = flash_attention_lanes(q, k, v, lens, heads, True)
+    ref = ref_attention_lanes(q, k, v, heads, lens=[T - 11])
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)

