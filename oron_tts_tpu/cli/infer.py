@@ -116,6 +116,13 @@ def main() -> None:
                         help="Classifier-free guidance")
     parser.add_argument("--sway-sampling-coef", type=float, default=-1.0,
                         help="Sway sampling coefficient; use 0 for uniform")
+    parser.add_argument("--cfg-interval", type=str, default=None,
+                        metavar="LO,HI",
+                        help="Apply classifier-free guidance only at "
+                             "timesteps t in [LO,HI] (e.g. 0.0,0.75); "
+                             "other steps run a single cond-only forward "
+                             "(~2x cheaper per step). Default: guide "
+                             "every step like the reference")
     parser.add_argument("--duration", type=float, default=None,
                         help="Target duration in seconds")
     parser.add_argument("--speed", type=float, default=1.0,
@@ -152,6 +159,15 @@ def main() -> None:
     if args.quantize == "int8" and args.mesh:
         parser.error("--quantize int8 (w8a16 Pallas) is single-device; "
                      "use int8_dynamic with --mesh")
+    cfg_interval = None
+    if args.cfg_interval:
+        try:
+            lo, hi = (float(v) for v in args.cfg_interval.split(","))
+        except ValueError:
+            parser.error("--cfg-interval must be LO,HI (e.g. 0.0,0.75)")
+        if not 0.0 <= lo <= hi:
+            parser.error("--cfg-interval needs 0 <= LO <= HI")
+        cfg_interval = (lo, hi)
 
     if args.device:
         import jax
@@ -204,6 +220,7 @@ def main() -> None:
             max_chars_per_chunk=args.max_chars_per_chunk,
             pause_s=args.pause_ms / 1000,
             ref_audio_path=args.ref_audio, ref_text=args.ref_text,
+            cfg_interval=cfg_interval,
         )
         out = Path(args.output)
         out.parent.mkdir(parents=True, exist_ok=True)
@@ -234,6 +251,7 @@ def main() -> None:
         max_chars_per_chunk=args.max_chars_per_chunk,
         pause_s=args.pause_ms / 1000,
         seed=args.seed,
+        cfg_interval=cfg_interval,
     )
 
     out = Path(args.output)

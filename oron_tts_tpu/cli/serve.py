@@ -260,6 +260,15 @@ class Handler(BaseHTTPRequestHandler):
 
         try:
             sway = req.get("sway_sampling_coef", -1.0)
+            # guidance interval: [lo, hi] list → hashable tuple (it is
+            # part of the micro-batcher's parameter key)
+            ci = req.get("cfg_interval")
+            if ci is not None:
+                if not isinstance(ci, (list, tuple)) or len(ci) != 2:
+                    raise ValueError("cfg_interval must be [lo, hi]")
+                ci = (float(ci[0]), float(ci[1]))
+                if not 0.0 <= ci[0] <= ci[1]:
+                    raise ValueError("cfg_interval needs 0 <= lo <= hi")
             common = dict(
                 lang=req.get("lang", "mn"),
                 n_steps=int(req.get("steps", 32)),
@@ -268,6 +277,7 @@ class Handler(BaseHTTPRequestHandler):
                 # coerce here so garbage is a 400, not a 500 in the sampler
                 sway_sampling_coef=None if sway is None else float(sway),
                 speed=float(req.get("speed", 1.0)),
+                cfg_interval=ci,
             )
             # coerce here so a string/float seed is a 400 like every other
             # malformed parameter, not a 500 from deep inside PRNGKey

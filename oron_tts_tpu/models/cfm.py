@@ -214,6 +214,7 @@ class CFM:
         return_trajectory: bool = False,
         max_duration: int = 65536,
         hoist_t_mods: bool = True,
+        cfg_interval: tuple[float, float] | None = None,
     ) -> tuple[jnp.ndarray, jnp.ndarray | None]:
         """Euler-ODE generation.
 
@@ -223,6 +224,17 @@ class CFM:
             duration: [B] total lengths (cond length T must be >= max).
             lens: [B] reference-audio lengths (frames [0:lens[i]] conditioning).
             noise: optional [B, T, M] initial noise (parity tests / seeding).
+            cfg_interval: optional (lo, hi) guidance interval (Kynkäänniemi
+                et al. 2024, arXiv:2404.07724): CFG — the batch-doubled
+                cond+uncond forward and the guided combine — applies only
+                at Euler steps whose timestep t falls in [lo, hi]; the
+                other steps run a single cond-only forward (half the
+                DiT rows). None (the default, and the reference's
+                behavior, flow.py:244-267) guides every step; (0.0, 1.0)
+                is numerically identical to None. An opt-in throughput
+                lever: the step membership is decided statically from
+                the sway-warped grid, so the Euler scan just splits into
+                up to three segments — no per-step branching.
 
         Returns:
             (mel [B, T, M], trajectory [steps+1, B, T, M] or None)
@@ -231,6 +243,13 @@ class CFM:
             raise ValueError(f"steps must be >= 1, got {steps}")
         if cfg_strength < 0:
             raise ValueError(f"cfg_strength must be >= 0, got {cfg_strength}")
+        if cfg_interval is not None:
+            lo, hi = float(cfg_interval[0]), float(cfg_interval[1])
+            if not (0.0 <= lo <= hi):
+                raise ValueError(
+                    f"cfg_interval must satisfy 0 <= lo <= hi, got "
+                    f"{cfg_interval}"
+                )
         batch, max_dur, n_mels = cond.shape
         if max_dur > max_duration:
             raise ValueError(f"duration exceeds max_duration={max_duration}")
@@ -304,34 +323,70 @@ class CFM:
                 self.backbone.scan_blocks, self.backbone.dtype,
             )
 
-        def velocity(x: jnp.ndarray, i: jnp.ndarray) -> jnp.ndarray:
-            t_b = jnp.broadcast_to(t_grid[i], (batch,))
-            tm = (
-                (block_mods[:, i], final_mods[i]) if hoist_t_mods else None
-            )
-            if not use_cfg:
-                return self.backbone.apply(
-                    variables, x, step_cond, text_ids, t_b,
-                    mask=attn_mask, text_embed=te_cond, t_mods=tm,
+        def make_euler_step(seg_cfg: bool):
+            def velocity(x: jnp.ndarray, i: jnp.ndarray) -> jnp.ndarray:
+                t_b = jnp.broadcast_to(t_grid[i], (batch,))
+                tm = (
+                    (block_mods[:, i], final_mods[i]) if hoist_t_mods
+                    else None
                 )
-            pred, null = self.backbone.apply(
-                variables, x, step_cond, te_cond, te_uncond, t_b, attn_mask,
-                method="forward_cfg", t_mods=tm,
+                if not seg_cfg:
+                    return self.backbone.apply(
+                        variables, x, step_cond, text_ids, t_b,
+                        mask=attn_mask, text_embed=te_cond, t_mods=tm,
+                    )
+                pred, null = self.backbone.apply(
+                    variables, x, step_cond, te_cond, te_uncond, t_b,
+                    attn_mask, method="forward_cfg", t_mods=tm,
+                )
+                return pred + (pred - null) * cfg_strength
+
+            def euler_step(x: jnp.ndarray, i: jnp.ndarray):
+                dt = t_grid[i + 1] - t_grid[i]
+                v = velocity(x, i)
+                x_next = x + v * dt
+                return x_next, (x_next if return_trajectory else None)
+
+            return euler_step
+
+        # Segment the step range by static CFG membership: with a
+        # guidance interval the (monotonic) sway-warped grid yields at
+        # most three contiguous runs — cond-only, guided, cond-only.
+        # Membership is decided host-side in float64 (same formula as
+        # sway_timesteps); a boundary step flipping by float error would
+        # merely move one step between regimes, never change the math of
+        # either. Without an interval this is ONE segment — the exact
+        # scan the sampler always ran.
+        if use_cfg and cfg_interval is not None:
+            import numpy as _np
+
+            t_np = _np.linspace(0.0, 1.0, steps + 1)[:-1]
+            if sway_sampling_coef is not None:
+                t_np = t_np + sway_sampling_coef * (
+                    _np.cos(_np.pi / 2 * t_np) - 1 + t_np
+                )
+            in_cfg = (t_np >= lo) & (t_np <= hi)
+            bounds = [0] + [
+                i for i in range(1, steps) if in_cfg[i] != in_cfg[i - 1]
+            ] + [steps]
+            segments = [
+                (a, b, bool(in_cfg[a])) for a, b in zip(bounds, bounds[1:])
+            ]
+        else:
+            segments = [(0, steps, use_cfg)]
+
+        x_final = y0
+        traj_parts = []
+        for start, stop, seg_cfg in segments:
+            x_final, tr = jax.lax.scan(
+                make_euler_step(seg_cfg), x_final,
+                jnp.arange(start, stop), unroll=1,
             )
-            return pred + (pred - null) * cfg_strength
-
-        def euler_step(x: jnp.ndarray, i: jnp.ndarray):
-            dt = t_grid[i + 1] - t_grid[i]
-            v = velocity(x, i)
-            x_next = x + v * dt
-            return x_next, (x_next if return_trajectory else None)
-
-        x_final, traj = jax.lax.scan(
-            euler_step, y0, jnp.arange(steps), unroll=1
-        )
+            if return_trajectory:
+                traj_parts.append(tr)
         out = jnp.where(cond_mask, cond, x_final)
         if return_trajectory:
-            trajectory = jnp.concatenate([y0[None], traj], axis=0)
+            trajectory = jnp.concatenate([y0[None], *traj_parts], axis=0)
         else:
             trajectory = None
         return out, trajectory

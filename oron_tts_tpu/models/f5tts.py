@@ -538,8 +538,14 @@ class F5TTS:
         max_chars_per_chunk: int | None = DEFAULT_MAX_CHARS_PER_CHUNK,
         pause_s: float = DEFAULT_PAUSE_S,
         seed: int | None = None,
+        cfg_interval: tuple[float, float] | None = None,
     ) -> np.ndarray:
-        """Synthesize speech; returns float32 waveform [T_samples]."""
+        """Synthesize speech; returns float32 waveform [T_samples].
+
+        ``cfg_interval=(lo, hi)`` restricts classifier-free guidance to
+        timesteps in that interval (CFM.sample) — an opt-in throughput
+        lever; None (default) guides every step like the reference.
+        """
         lang, chunks, chunk_durs = self._prepare_synthesis(
             text, lang, ref_text, n_steps, cfg_strength, speed,
             target_duration_s, max_chars_per_chunk, pause_s,
@@ -548,11 +554,12 @@ class F5TTS:
             return self._synthesize_segment(
                 chunks[0], lang, ref_audio_path, ref_text, n_steps,
                 cfg_strength, sway_sampling_coef, speed, target_duration_s,
-                seed,
+                seed, cfg_interval=cfg_interval,
             )
         waveforms = self._synthesize_chunks(
             chunks, lang, ref_audio_path, ref_text, n_steps, cfg_strength,
             sway_sampling_coef, speed, chunk_durs, seed,
+            cfg_interval=cfg_interval,
         )
         return concat_with_pause(waveforms, self.sample_rate, pause_s)
 
@@ -570,6 +577,7 @@ class F5TTS:
         max_chars_per_chunk: int | None = DEFAULT_MAX_CHARS_PER_CHUNK,
         pause_s: float = DEFAULT_PAUSE_S,
         seed: int | None = None,
+        cfg_interval: tuple[float, float] | None = None,
     ):
         """Incremental synthesis: yields waveform pieces in playback order.
 
@@ -591,13 +599,14 @@ class F5TTS:
             yield self._synthesize_segment(
                 chunks[0], lang, ref_audio_path, ref_text, n_steps,
                 cfg_strength, sway_sampling_coef, speed, target_duration_s,
-                seed,
+                seed, cfg_interval=cfg_interval,
             )
             return
         target_lens, pending = self._dispatch_chunk_groups(
             chunks, lang, ref_audio_path, ref_text, n_steps, cfg_strength,
             sway_sampling_coef, speed, chunk_durs,
             _chunk_seeds(seed, len(chunks)), isolate_first=True,
+            cfg_interval=cfg_interval,
         )
         pause_len = int(self.sample_rate * pause_s)
         pause = np.zeros(pause_len, dtype=np.float32)
@@ -769,6 +778,7 @@ class F5TTS:
         pause_s: float = DEFAULT_PAUSE_S,
         ref_audio_path: str | Path | None = None,
         ref_text: str | None = None,
+        cfg_interval: tuple[float, float] | None = None,
     ) -> list[np.ndarray]:
         """Batched synthesis: few sampler calls for many utterances.
 
@@ -833,6 +843,7 @@ class F5TTS:
             chunk_texts, lang, ref_audio_path, ref_text, n_steps,
             cfg_strength, sway_sampling_coef, speed,
             [None] * len(chunk_texts), row_seeds, max_batch,
+            cfg_interval=cfg_interval,
         )
         chunk_wavs: list[np.ndarray | None] = [None] * len(chunk_texts)
         for group, decoded in pending:
@@ -847,8 +858,11 @@ class F5TTS:
         return wavs
 
     def _sample_fn(self, bucket_len: int, steps: int, cfg_strength: float,
-                   sway: float | None, batch: int = 1):
-        key = (bucket_len, steps, cfg_strength, sway, batch)
+                   sway: float | None, batch: int = 1,
+                   cfg_interval: tuple[float, float] | None = None):
+        if cfg_interval is not None:
+            cfg_interval = (float(cfg_interval[0]), float(cfg_interval[1]))
+        key = (bucket_len, steps, cfg_strength, sway, batch, cfg_interval)
         fn = self._sample_cache.get(key)
         if fn is None:
             def run(variables, cond, text_ids, duration, lens, noise_key):
@@ -859,6 +873,7 @@ class F5TTS:
                     variables, cond, text_ids, duration, lens,
                     steps=steps, cfg_strength=cfg_strength,
                     sway_sampling_coef=sway, seed=noise_key,
+                    cfg_interval=cfg_interval,
                 )
                 return out
             if self._mesh is not None:
@@ -949,6 +964,7 @@ class F5TTS:
         speed: float,
         target_duration_s: float | None,
         seed: int | None,
+        cfg_interval: tuple[float, float] | None = None,
     ) -> np.ndarray:
         target_ids = self.text_cleaner.text_to_sequence(text, lang=lang)
         ref_mel, ref_len, ref_ids = self._load_ref(ref_audio_path, ref_text, lang)
@@ -976,7 +992,8 @@ class F5TTS:
 
         key = jax.random.PRNGKey(0 if seed is None else seed)
 
-        fn = self._sample_fn(bucket, n_steps, cfg_strength, sway)
+        fn = self._sample_fn(bucket, n_steps, cfg_strength, sway,
+                             cfg_interval=cfg_interval)
         mel_out = fn(
             self.variables, cond, text_arr,
             np.asarray([t_total]), np.asarray([ref_len]), key,
@@ -997,6 +1014,7 @@ class F5TTS:
         chunk_durs: list[float | None],
         seed: int | None,
         max_batch: int = 16,
+        cfg_interval: tuple[float, float] | None = None,
     ) -> list[np.ndarray]:
         """Solve a long text's chunks in BATCHED CFG Euler calls.
 
@@ -1013,7 +1031,7 @@ class F5TTS:
         target_lens, pending = self._dispatch_chunk_groups(
             chunks, lang, ref_audio_path, ref_text, n_steps, cfg_strength,
             sway, speed, chunk_durs, _chunk_seeds(seed, len(chunks)),
-            max_batch,
+            max_batch, cfg_interval=cfg_interval,
         )
         wavs: list[np.ndarray | None] = [None] * len(chunks)
         for group, decoded in pending:
@@ -1037,6 +1055,7 @@ class F5TTS:
         row_seeds: list[int | None],
         max_batch: int = 16,
         isolate_first: bool = False,
+        cfg_interval: tuple[float, float] | None = None,
     ) -> tuple[list[int], list[tuple[list[int], Any]]]:
         """Enqueue every chunk group's solve+decode; return device handles.
 
@@ -1102,7 +1121,7 @@ class F5TTS:
                 durations[row] = t_totals[i]
 
             fn = self._sample_fn(bucket, n_steps, cfg_strength, sway,
-                                 batch=batch)
+                                 batch=batch, cfg_interval=cfg_interval)
             mel_out = fn(self.variables, cond, text_arr, durations, lens,
                          jnp.stack(row_keys))
             gen = mel_out[:, ref_len:, :]  # [batch, bucket-ref_len, n_mels]
