@@ -85,6 +85,58 @@ def param_shardings(mesh: Mesh, params: Any) -> Any:
     )
 
 
+def opt_specs(opt_state: Any, params: Any, n_data: int) -> Any:
+    """ZeRO-1 spec tree for an optax state: moments shard over ``data``.
+
+    Optimizer moments (AdamW mu/nu) are param-shaped and never enter the
+    forward/backward — only the tiny elementwise update reads them — so
+    replicating them across the ``data`` axis wastes 2 × params of HBM
+    per chip (3.4 GB at Base f32). Every param-structured subtree inside
+    the optax state gets its param's TP spec plus ``data`` on the first
+    free axis whose dim divides ``n_data`` (GSPMD turns the update into
+    a reduce-scatter + all-gather pair over ICI — the ZeRO-1 trade);
+    scalars (step counts) and unshardable leaves stay replicated. The
+    reference has no analogue (DDP replicates optimizer state,
+    /root/reference/src/training/trainer.py:76-80).
+    """
+    p_treedef = jax.tree_util.tree_structure(params)
+    pspecs = param_specs(params)
+
+    def moment_spec(leaf: Any, spec: P) -> P:
+        shape = tuple(getattr(leaf, "shape", ()) or ())
+        if n_data <= 1 or not shape:
+            return spec
+        parts = list(spec) + [None] * (len(shape) - len(spec))
+        if "data" in parts:
+            return spec
+        for i, p in enumerate(parts):
+            if p is None and shape[i] % n_data == 0 and shape[i] >= n_data:
+                parts[i] = "data"
+                break
+        return P(*parts)
+
+    def is_param_tree(node: Any) -> bool:
+        try:
+            return jax.tree_util.tree_structure(node) == p_treedef
+        except Exception:
+            return False
+
+    def assign(node: Any) -> Any:
+        if is_param_tree(node):
+            return jax.tree_util.tree_map(moment_spec, node, pspecs)
+        return jax.tree_util.tree_map(lambda _: P(), node)
+
+    return jax.tree_util.tree_map(assign, opt_state, is_leaf=is_param_tree)
+
+
+def opt_shardings(mesh: Mesh, opt_state: Any, params: Any) -> Any:
+    n_data = int(mesh.shape.get("data", 1))
+    return jax.tree_util.tree_map(
+        lambda s: NamedSharding(mesh, s),
+        opt_specs(opt_state, params, n_data),
+    )
+
+
 def batch_sharding(mesh: Mesh) -> NamedSharding:
     """Shard the leading (batch) axis over the data axis."""
     return NamedSharding(mesh, P("data"))

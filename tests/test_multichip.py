@@ -217,3 +217,75 @@ def test_mesh_serving_single_utterance_smoke():
     wav = model.synthesize("сайн байна уу", n_steps=2, seed=0)
     assert wav.ndim == 1 and wav.size > 0
     assert np.isfinite(wav).all()
+
+
+def test_zero1_opt_sharding_matches_replicated():
+    """shard_opt_states=True (ZeRO-1, mesh.opt_specs): AdamW moments shard
+    over the data axis; two train steps produce the same losses and
+    updated params as the replicated-optimizer run, and the moment leaves
+    really carry a 'data' sharding."""
+    from jax.sharding import PartitionSpec as P
+
+    from oron_tts_tpu.config import F5Config
+    from oron_tts_tpu.models.f5tts import F5TTS
+    from oron_tts_tpu.parallel.mesh import make_mesh, shard_batch
+    from oron_tts_tpu.train.trainer import F5Trainer
+
+    base_cfg = {
+        "sample_rate": 24000, "n_mels": 100, "learning_rate": 1e-4,
+        "warmup_steps": 2, "num_epochs": 1, "use_tqdm": False,
+        "model": {"vocab_size": 65, "dim": 64, "depth": 1, "heads": 4,
+                  "ff_mult": 2, "text_dim": 16, "conv_layers": 1,
+                  "p_dropout": 0.0},
+    }
+
+    class _Loader:
+        dataset = []
+
+        def __len__(self):
+            return 1
+
+        def __iter__(self):
+            return iter(())
+
+    rng = np.random.default_rng(7)
+    B, T = 8, 64
+    batch = {
+        "mel": rng.standard_normal((B, 100, T)).astype(np.float32),
+        "text_ids": rng.integers(0, 65, (B, T)).astype(np.int32),
+        "mel_lengths": np.full((B,), T, np.int32),
+    }
+
+    def run(zero1: bool):
+        cfg = dict(base_cfg, shard_opt_states=zero1)
+        mesh = make_mesh(4, 2)
+        model = F5TTS.from_config(F5Config.from_dict(cfg))
+        model.init_params(0)
+        tr = F5Trainer(config=cfg, model=model, train_loader=_Loader(),
+                       log_dir="/tmp/lz", checkpoint_dir="/tmp/cz",
+                       mesh=mesh)
+        if zero1:
+            # mu/nu leaves shard over data (kernels: data on the first
+            # free axis alongside the TP spec); scalar count stays P()
+            adam = tr.state.opt_state[1][0]  # chain: (clip, (adamw...))
+            mu_leaf = adam.mu["block0"]["ff"]["in_proj"]["kernel"]
+            spec = mu_leaf.sharding.spec
+            assert "data" in tuple(spec), spec
+            assert adam.count.sharding.spec == P(), adam.count.sharding
+        b = shard_batch(mesh, batch)
+        state = tr.state
+        losses = []
+        for i in range(2):
+            state, metrics = tr._train_step(
+                state, b, jax.random.PRNGKey(11 + i)
+            )
+            losses.append(float(metrics["loss"]))
+        leaf = np.asarray(
+            jax.device_get(state.params["block0"]["ff"]["in_proj"]["kernel"])
+        )
+        return losses, leaf
+
+    losses_rep, leaf_rep = run(False)
+    losses_z1, leaf_z1 = run(True)
+    np.testing.assert_allclose(losses_z1, losses_rep, rtol=1e-5)
+    np.testing.assert_allclose(leaf_z1, leaf_rep, atol=1e-5)
