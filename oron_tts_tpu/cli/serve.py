@@ -269,6 +269,9 @@ class Handler(BaseHTTPRequestHandler):
                 ci = (float(ci[0]), float(ci[1]))
                 if not 0.0 <= ci[0] <= ci[1]:
                     raise ValueError("cfg_interval needs 0 <= lo <= hi")
+            ode_method = str(req.get("method", "euler"))
+            if ode_method not in ("euler", "midpoint"):
+                raise ValueError("method must be 'euler' or 'midpoint'")
             common = dict(
                 lang=req.get("lang", "mn"),
                 n_steps=int(req.get("steps", 32)),
@@ -278,6 +281,7 @@ class Handler(BaseHTTPRequestHandler):
                 sway_sampling_coef=None if sway is None else float(sway),
                 speed=float(req.get("speed", 1.0)),
                 cfg_interval=ci,
+                method=ode_method,
             )
             # coerce here so a string/float seed is a 400 like every other
             # malformed parameter, not a 500 from deep inside PRNGKey

@@ -539,6 +539,7 @@ class F5TTS:
         pause_s: float = DEFAULT_PAUSE_S,
         seed: int | None = None,
         cfg_interval: tuple[float, float] | None = None,
+        method: str = "euler",
     ) -> np.ndarray:
         """Synthesize speech; returns float32 waveform [T_samples].
 
@@ -554,12 +555,12 @@ class F5TTS:
             return self._synthesize_segment(
                 chunks[0], lang, ref_audio_path, ref_text, n_steps,
                 cfg_strength, sway_sampling_coef, speed, target_duration_s,
-                seed, cfg_interval=cfg_interval,
+                seed, cfg_interval=cfg_interval, method=method,
             )
         waveforms = self._synthesize_chunks(
             chunks, lang, ref_audio_path, ref_text, n_steps, cfg_strength,
             sway_sampling_coef, speed, chunk_durs, seed,
-            cfg_interval=cfg_interval,
+            cfg_interval=cfg_interval, method=method,
         )
         return concat_with_pause(waveforms, self.sample_rate, pause_s)
 
@@ -578,6 +579,7 @@ class F5TTS:
         pause_s: float = DEFAULT_PAUSE_S,
         seed: int | None = None,
         cfg_interval: tuple[float, float] | None = None,
+        method: str = "euler",
     ):
         """Incremental synthesis: yields waveform pieces in playback order.
 
@@ -599,14 +601,14 @@ class F5TTS:
             yield self._synthesize_segment(
                 chunks[0], lang, ref_audio_path, ref_text, n_steps,
                 cfg_strength, sway_sampling_coef, speed, target_duration_s,
-                seed, cfg_interval=cfg_interval,
+                seed, cfg_interval=cfg_interval, method=method,
             )
             return
         target_lens, pending = self._dispatch_chunk_groups(
             chunks, lang, ref_audio_path, ref_text, n_steps, cfg_strength,
             sway_sampling_coef, speed, chunk_durs,
             _chunk_seeds(seed, len(chunks)), isolate_first=True,
-            cfg_interval=cfg_interval,
+            cfg_interval=cfg_interval, method=method,
         )
         pause_len = int(self.sample_rate * pause_s)
         pause = np.zeros(pause_len, dtype=np.float32)
@@ -779,6 +781,7 @@ class F5TTS:
         ref_audio_path: str | Path | None = None,
         ref_text: str | None = None,
         cfg_interval: tuple[float, float] | None = None,
+        method: str = "euler",
     ) -> list[np.ndarray]:
         """Batched synthesis: few sampler calls for many utterances.
 
@@ -843,7 +846,7 @@ class F5TTS:
             chunk_texts, lang, ref_audio_path, ref_text, n_steps,
             cfg_strength, sway_sampling_coef, speed,
             [None] * len(chunk_texts), row_seeds, max_batch,
-            cfg_interval=cfg_interval,
+            cfg_interval=cfg_interval, method=method,
         )
         chunk_wavs: list[np.ndarray | None] = [None] * len(chunk_texts)
         for group, decoded in pending:
@@ -859,10 +862,12 @@ class F5TTS:
 
     def _sample_fn(self, bucket_len: int, steps: int, cfg_strength: float,
                    sway: float | None, batch: int = 1,
-                   cfg_interval: tuple[float, float] | None = None):
+                   cfg_interval: tuple[float, float] | None = None,
+                   method: str = "euler"):
         if cfg_interval is not None:
             cfg_interval = (float(cfg_interval[0]), float(cfg_interval[1]))
-        key = (bucket_len, steps, cfg_strength, sway, batch, cfg_interval)
+        key = (bucket_len, steps, cfg_strength, sway, batch, cfg_interval,
+               method)
         fn = self._sample_cache.get(key)
         if fn is None:
             def run(variables, cond, text_ids, duration, lens, noise_key):
@@ -873,7 +878,7 @@ class F5TTS:
                     variables, cond, text_ids, duration, lens,
                     steps=steps, cfg_strength=cfg_strength,
                     sway_sampling_coef=sway, seed=noise_key,
-                    cfg_interval=cfg_interval,
+                    cfg_interval=cfg_interval, method=method,
                 )
                 return out
             if self._mesh is not None:
@@ -965,6 +970,7 @@ class F5TTS:
         target_duration_s: float | None,
         seed: int | None,
         cfg_interval: tuple[float, float] | None = None,
+        method: str = "euler",
     ) -> np.ndarray:
         target_ids = self.text_cleaner.text_to_sequence(text, lang=lang)
         ref_mel, ref_len, ref_ids = self._load_ref(ref_audio_path, ref_text, lang)
@@ -993,7 +999,7 @@ class F5TTS:
         key = jax.random.PRNGKey(0 if seed is None else seed)
 
         fn = self._sample_fn(bucket, n_steps, cfg_strength, sway,
-                             cfg_interval=cfg_interval)
+                             cfg_interval=cfg_interval, method=method)
         mel_out = fn(
             self.variables, cond, text_arr,
             np.asarray([t_total]), np.asarray([ref_len]), key,
@@ -1015,6 +1021,7 @@ class F5TTS:
         seed: int | None,
         max_batch: int = 16,
         cfg_interval: tuple[float, float] | None = None,
+        method: str = "euler",
     ) -> list[np.ndarray]:
         """Solve a long text's chunks in BATCHED CFG Euler calls.
 
@@ -1031,7 +1038,7 @@ class F5TTS:
         target_lens, pending = self._dispatch_chunk_groups(
             chunks, lang, ref_audio_path, ref_text, n_steps, cfg_strength,
             sway, speed, chunk_durs, _chunk_seeds(seed, len(chunks)),
-            max_batch, cfg_interval=cfg_interval,
+            max_batch, cfg_interval=cfg_interval, method=method,
         )
         wavs: list[np.ndarray | None] = [None] * len(chunks)
         for group, decoded in pending:
@@ -1056,6 +1063,7 @@ class F5TTS:
         max_batch: int = 16,
         isolate_first: bool = False,
         cfg_interval: tuple[float, float] | None = None,
+        method: str = "euler",
     ) -> tuple[list[int], list[tuple[list[int], Any]]]:
         """Enqueue every chunk group's solve+decode; return device handles.
 
@@ -1121,7 +1129,7 @@ class F5TTS:
                 durations[row] = t_totals[i]
 
             fn = self._sample_fn(bucket, n_steps, cfg_strength, sway,
-                                 batch=batch, cfg_interval=cfg_interval)
+                                 batch=batch, cfg_interval=cfg_interval, method=method)
             mel_out = fn(self.variables, cond, text_arr, durations, lens,
                          jnp.stack(row_keys))
             gen = mel_out[:, ref_len:, :]  # [batch, bucket-ref_len, n_mels]
