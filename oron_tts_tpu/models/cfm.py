@@ -387,8 +387,6 @@ class CFM:
         # either. Without an interval this is ONE segment — the exact
         # scan the sampler always ran.
         if use_cfg and cfg_interval is not None:
-            import numpy as _np
-
             t_np = _np.linspace(0.0, 1.0, steps + 1)[:-1]
             if sway_sampling_coef is not None:
                 t_np = t_np + sway_sampling_coef * (

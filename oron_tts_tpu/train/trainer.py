@@ -148,9 +148,20 @@ def _train_step_fn(cfm: Any, tx: optax.GradientTransformation, ema_decay: float)
     return step_fn
 
 
-def make_train_step(cfm: Any, tx: optax.GradientTransformation, ema_decay: float):
-    """Fused loss+grad+update+EMA step with non-finite skip guard."""
-    return jax.jit(_train_step_fn(cfm, tx, ema_decay), donate_argnums=(0,))
+def make_train_step(cfm: Any, tx: optax.GradientTransformation, ema_decay: float,
+                    out_shardings: Any | None = None):
+    """Fused loss+grad+update+EMA step with non-finite skip guard.
+
+    ``out_shardings`` (mesh runs) pins the output TrainState to the
+    canonical placement (params/EMA per TP rules, moments per ZeRO-1
+    specs, metrics replicated). Without it GSPMD propagation is free to
+    leave the updated params sharded over ``data`` under ZeRO-1 — the
+    all-gather merely moves to the next step's forward, but on a pod the
+    state becomes non-addressable and every host-side read
+    (checkpointing, diagnostics) breaks.
+    """
+    kw = {} if out_shardings is None else {"out_shardings": out_shardings}
+    return jax.jit(_train_step_fn(cfm, tx, ema_decay), donate_argnums=(0,), **kw)
 
 
 def compile_train_step_auto(
@@ -296,12 +307,14 @@ def make_accum_step(cfm: Any):
     return jax.jit(fn, donate_argnums=(0,))
 
 
-def make_apply_accum_step(tx: optax.GradientTransformation, ema_decay: float):
+def make_apply_accum_step(tx: optax.GradientTransformation, ema_decay: float,
+                          out_shardings: Any | None = None):
     """Apply an accumulated window: mean-scale, guard, update, EMA.
 
     The scale comes from the on-device finite-microbatch count, so partial
     windows (end-of-epoch flush, reference trainer.py:319-327) and
-    host-skipped microbatches need no special casing.
+    host-skipped microbatches need no special casing. ``out_shardings``
+    pins the output state placement on mesh runs (see make_train_step).
     """
 
     def fn(state: TrainState, acc: dict):
@@ -318,7 +331,8 @@ def make_apply_accum_step(tx: optax.GradientTransformation, ema_decay: float):
         }
         return new_state, metrics
 
-    return jax.jit(fn, donate_argnums=(0, 1))
+    kw = {} if out_shardings is None else {"out_shardings": out_shardings}
+    return jax.jit(fn, donate_argnums=(0, 1), **kw)
 
 
 class F5Trainer:
@@ -390,11 +404,26 @@ class F5Trainer:
             ema_updates=jnp.asarray(0, jnp.int32),
         )
         self.state = self._apply_mesh(self.state)
+        # pin step outputs to the canonical placement on mesh runs (metrics
+        # replicated) so ZeRO-1 propagation can't leave params data-sharded
+        step_out = None
+        if mesh is not None:
+            from oron_tts_tpu.parallel.mesh import replicated
 
-        self._train_step = make_train_step(model.cfm, self.tx, self.ema_decay)
+            rep = replicated(mesh)
+            step_out = (
+                self._state_shardings(self.state),
+                {"loss": rep, "grad_norm": rep, "ok": rep},
+            )
+
+        self._train_step = make_train_step(
+            model.cfm, self.tx, self.ema_decay, out_shardings=step_out
+        )
         self._eval_step = make_eval_step(model.cfm)
         self._accum_step = make_accum_step(model.cfm)
-        self._apply_accum = make_apply_accum_step(self.tx, self.ema_decay)
+        self._apply_accum = make_apply_accum_step(
+            self.tx, self.ema_decay, out_shardings=step_out
+        )
         self._zero_accum = make_zero_accum()
         # AOT AUTO-layout steps (one compile per batch shape, no donation
         # recompile); mesh runs keep plain jit — GSPMD shardings already
@@ -416,14 +445,8 @@ class F5Trainer:
         self.logger = self._setup_logger()
         self.writer = self._setup_tensorboard()
 
-    def _apply_mesh(self, state: TrainState) -> TrainState:
-        """Place a TrainState per the mesh sharding rules (no-op without mesh).
-
-        Used both at construction and after checkpoint resume so resumed runs
-        keep the exact same TP/DP placement as fresh starts.
-        """
-        if self.mesh is None:
-            return state
+    def _state_shardings(self, state: TrainState) -> TrainState:
+        """Canonical sharding tree for a TrainState on this mesh."""
         from oron_tts_tpu.parallel.mesh import (
             opt_shardings,
             param_shardings,
@@ -440,14 +463,23 @@ class F5Trainer:
             opt_sh = jax.tree_util.tree_map(
                 lambda _: replicated(self.mesh), state.opt_state,
             )
-        shardings = TrainState(
+        return TrainState(
             params=param_shardings(self.mesh, state.params),
             opt_state=opt_sh,
             ema_params=param_shardings(self.mesh, state.params),
             step=replicated(self.mesh),
             ema_updates=replicated(self.mesh),
         )
-        return jax.device_put(state, shardings)
+
+    def _apply_mesh(self, state: TrainState) -> TrainState:
+        """Place a TrainState per the mesh sharding rules (no-op without mesh).
+
+        Used both at construction and after checkpoint resume so resumed runs
+        keep the exact same TP/DP placement as fresh starts.
+        """
+        if self.mesh is None:
+            return state
+        return jax.device_put(state, self._state_shardings(state))
 
     # ── infra ────────────────────────────────────────────────────────────
 
@@ -817,21 +849,26 @@ class F5Trainer:
             if self.epoch % save_interval == 0:
                 self.save_checkpoint(is_best=is_best, loss=avg_loss)
                 self._maybe_push_to_hub()
-            elif is_best and self.is_main_process:
+            elif is_best:
                 # a best epoch between intervals must still reach disk —
-                # write f5tts_best.npz only (no step file, no rotation)
-                self.checkpoint_manager.save_best(
-                    step=self.global_step,
-                    params=self._relayout(self.state.params,
-                                          scan_blocks=False),
-                    opt_state=self._relayout(self.state.opt_state,
-                                             scan_blocks=False),
-                    ema_params=self._relayout(self.state.ema_params,
+                # write f5tts_best.npz only (no step file, no rotation).
+                # is_best is all-reduced, so EVERY host enters this branch
+                # and joins the (collective) ZeRO-1 gather; only rank 0
+                # writes.
+                opt_state = self._fetchable_opt_state()
+                if self.is_main_process:
+                    self.checkpoint_manager.save_best(
+                        step=self.global_step,
+                        params=self._relayout(self.state.params,
                                               scan_blocks=False),
-                    loss=avg_loss,
-                    extra_state={"epoch": self.epoch,
-                                 "best_val": self._best_val},
-                )
+                        opt_state=self._relayout(opt_state,
+                                                 scan_blocks=False),
+                        ema_params=self._relayout(self.state.ema_params,
+                                                  scan_blocks=False),
+                        loss=avg_loss,
+                        extra_state={"epoch": self.epoch,
+                                     "best_val": self._best_val},
+                    )
 
         self.finish()
 
@@ -875,14 +912,39 @@ class F5Trainer:
 
         return rec(tree)
 
+    def _fetchable_opt_state(self) -> Any:
+        """Optimizer state every host can materialize on the host.
+
+        Under ZeRO-1 on a pod the AdamW moments are sharded across the
+        cross-process ``data`` axis — ``jax.device_get`` on such arrays
+        raises (non-addressable shards), so they are all-gathered to
+        replicated first. COLLECTIVE in that case: every host must call
+        this at the same point, BEFORE any rank-0-gated save. Single
+        process (or replicated optimizer) returns the state as is.
+        """
+        opt = self.state.opt_state
+        if (self.shard_opt_states and self.mesh is not None
+                and jax.process_count() > 1):
+            from oron_tts_tpu.parallel.mesh import replicated
+
+            rep = replicated(self.mesh)
+            opt = jax.jit(
+                lambda x: x,
+                out_shardings=jax.tree_util.tree_map(lambda _: rep, opt),
+            )(opt)
+        return opt
+
     def save_checkpoint(self, is_best: bool = False,
                         loss: float | None = None) -> Path | None:
+        # collective under ZeRO-1 on a pod — must run on EVERY host,
+        # hence before the rank gate
+        opt_state = self._fetchable_opt_state()
         if not self.is_main_process:
             return None  # rank-0 only (reference trainer.py:124-135)
         return self.checkpoint_manager.save(
             step=self.global_step,
             params=self._relayout(self.state.params, scan_blocks=False),
-            opt_state=self._relayout(self.state.opt_state, scan_blocks=False),
+            opt_state=self._relayout(opt_state, scan_blocks=False),
             ema_params=self._relayout(self.state.ema_params, scan_blocks=False),
             loss=loss,
             config=self.config,
@@ -964,8 +1026,11 @@ class F5Trainer:
                 jax.device_get(self.state.params), scan_blocks=False),
             "ema": self._relayout(
                 jax.device_get(self.state.ema_params), scan_blocks=False),
+            # collective under ZeRO-1: every host reaches this line
+            # (broadcast agreement above), so the gather is safe
             "opt": self._relayout(
-                jax.device_get(self.state.opt_state), scan_blocks=False),
+                jax.device_get(self._fetchable_opt_state()),
+                scan_blocks=False),
         }
         local = {
             k: info.get(k) if found and info.get(k) is not None else template[k]

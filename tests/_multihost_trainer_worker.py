@@ -55,6 +55,10 @@ CFG = {
     "ema_decay": 0.999, "max_grad_norm": 1.0, "grad_accumulation_steps": 1,
     "use_tqdm": False, "log_interval": 1, "save_interval": 1,
     "max_checkpoints": 2, "audio_sample_interval": 1000, "seed": 0,
+    # ZeRO-1 across the cross-PROCESS data axis: save_checkpoint /
+    # resume-broadcast must all-gather the moments (collective on every
+    # host) before rank-0 writes — the exact multi-host crash path
+    "shard_opt_states": True,
     "model": {
         "vocab_size": 65, "dim": 64, "depth": 2, "heads": 2, "ff_mult": 2,
         "text_dim": 32, "conv_layers": 2, "p_dropout": 0.0,
