@@ -162,9 +162,9 @@ def main() -> None:
                              "single-device), 'int8_dynamic' = w8a8 (int8 "
                              "MXU at 2x bf16 peak; composes with --mesh)")
     args = parser.parse_args()
-    if args.quantize == "int8" and args.mesh:
-        parser.error("--quantize int8 (w8a16 Pallas) is single-device; "
-                     "use int8_dynamic with --mesh")
+    from oron_tts_tpu.cli import validate_quantize_mesh
+
+    validate_quantize_mesh(parser, args.quantize, args.mesh)
     cfg_interval = None
     if args.cfg_interval:
         try:
@@ -176,9 +176,9 @@ def main() -> None:
         cfg_interval = (lo, hi)
 
     if args.device:
-        import jax
+        from oron_tts_tpu.utils.env import pin_platform
 
-        jax.config.update("jax_platforms", args.device)
+        pin_platform(args.device)
 
     from oron_tts_tpu.utils.cache import enable_compilation_cache
 
@@ -201,10 +201,9 @@ def main() -> None:
     if args.vocoder:
         model.load_vocoder(args.vocoder)
     if args.mesh:
-        from oron_tts_tpu.parallel.mesh import make_mesh
+        from oron_tts_tpu.parallel.mesh import mesh_from_spec
 
-        dp, _, tp = args.mesh.partition("x")
-        mesh = make_mesh(int(dp), int(tp or 1))
+        mesh = mesh_from_spec(args.mesh)
         model.set_mesh(mesh)
         print(f"Serving mesh: {dict(mesh.shape)}")
     print(f"Model loaded. Parameters: {model.num_params():,}")

@@ -39,10 +39,13 @@ _model = None
 _model_lock = threading.Lock()
 _batcher = None
 _meta = {}
-# rolling per-request wall-time window (deque.append is GIL-atomic) over
-# ALL synthesis endpoints + a monotonic served-request counter; /healthz
-# reports p50/p95 + totals so a deploy can watch serving health without
-# external instrumentation
+# rolling per-request wall-time window over ALL synthesis endpoints + a
+# monotonic served-request counter; /healthz reports p50/p95 + totals so a
+# deploy can watch serving health without external instrumentation.
+# _stats_lock guards BOTH the counter and the deque: /healthz iterates the
+# deque (sorted), and CPython raises "deque mutated during iteration" if a
+# handler thread appends concurrently — appends alone being GIL-atomic is
+# not enough for the read side.
 _latencies_s: deque = deque(maxlen=512)
 _stats_lock = threading.Lock()
 _requests_total = 0
@@ -50,8 +53,8 @@ _requests_total = 0
 
 def _record_latency(t0: float) -> None:
     global _requests_total
-    _latencies_s.append(time.perf_counter() - t0)
     with _stats_lock:
+        _latencies_s.append(time.perf_counter() - t0)
         _requests_total += 1
 
 
@@ -221,8 +224,10 @@ class Handler(BaseHTTPRequestHandler):
     def do_GET(self):
         if self.path == "/healthz":
             merged = _batcher.merged_batches if _batcher else 0
-            stats = {"requests": _requests_total}
-            lat = sorted(_latencies_s)
+            with _stats_lock:
+                total = _requests_total
+                lat = sorted(_latencies_s)
+            stats = {"requests": total}
             if lat:
                 stats.update({
                     "latency_p50_ms": round(lat[len(lat) // 2] * 1e3, 1),
@@ -242,7 +247,15 @@ class Handler(BaseHTTPRequestHandler):
 
     def do_POST(self):
         try:
-            length = int(self.headers.get("Content-Length", 0))
+            try:
+                length = int(self.headers.get("Content-Length", 0))
+            except ValueError:
+                # unparseable header: like the out-of-range branch below,
+                # the body was never drained, so keep-alive must not reuse
+                # this connection (the body would parse as the next request)
+                self.close_connection = True
+                self._json(400, {"error": "invalid Content-Length header"})
+                return
             if length < 0 or length > self.MAX_BODY_BYTES:
                 # out-of-range body: the declared bytes are NOT drained, so
                 # the connection must close — otherwise the next keep-alive
@@ -450,17 +463,17 @@ def main() -> None:
     args = parser.parse_args()
 
     if args.device:
-        import jax
+        from oron_tts_tpu.utils.env import pin_platform
 
-        jax.config.update("jax_platforms", args.device)
+        pin_platform(args.device)
     from oron_tts_tpu.utils.cache import enable_compilation_cache
 
     enable_compilation_cache()
     from oron_tts_tpu.cli.infer import load_model
 
-    if args.quantize == "int8" and args.mesh:
-        parser.error("--quantize int8 (w8a16 Pallas) is single-device; "
-                     "use int8_dynamic with --mesh")
+    from oron_tts_tpu.cli import validate_quantize_mesh
+
+    validate_quantize_mesh(parser, args.quantize, args.mesh)
     _model = load_model(args.checkpoint, use_ema=not args.no_ema,
                         scan_blocks=not args.no_scan_blocks,
                         precision="float32" if args.fp32 else None,
@@ -470,10 +483,9 @@ def main() -> None:
     if args.vocoder:
         _model.load_vocoder(args.vocoder)
     if args.mesh:
-        from oron_tts_tpu.parallel.mesh import make_mesh
+        from oron_tts_tpu.parallel.mesh import mesh_from_spec
 
-        dp, _, tp = args.mesh.partition("x")
-        mesh = make_mesh(int(dp), int(tp or 1))
+        mesh = mesh_from_spec(args.mesh)
         _model.set_mesh(mesh)
         _meta["mesh"] = dict(mesh.shape)
         print(f"[serve] mesh: {dict(mesh.shape)}")

@@ -136,9 +136,9 @@ def main() -> None:
         parser.error("--hub-upload-interval must be >= 1")
 
     if args.device:
-        import jax
+        from oron_tts_tpu.utils.env import pin_platform
 
-        jax.config.update("jax_platforms", args.device)
+        pin_platform(args.device)
     import jax
 
     if args.multihost:
@@ -158,7 +158,7 @@ def main() -> None:
     )
     from oron_tts_tpu.data.loader import DataLoader
     from oron_tts_tpu.models.f5tts import F5TTS
-    from oron_tts_tpu.train.trainer import F5Trainer
+    from oron_tts_tpu.train.trainer import F5Trainer, TrainingPreempted
 
     from oron_tts_tpu.utils.cache import enable_compilation_cache
 
@@ -213,11 +213,10 @@ def main() -> None:
     dp_size = 1
     n_dev = jax.device_count()
     if args.mesh or n_dev > 1:
-        from oron_tts_tpu.parallel.mesh import make_mesh
+        from oron_tts_tpu.parallel.mesh import make_mesh, mesh_from_spec
 
         if args.mesh:
-            dp, _, tp = args.mesh.partition("x")
-            mesh = make_mesh(int(dp), int(tp or 1))
+            mesh = mesh_from_spec(args.mesh)
         else:
             mesh = make_mesh(n_dev, 1)
         print(f"Device mesh: {mesh.shape}")
@@ -400,12 +399,17 @@ def main() -> None:
         trainer.load_checkpoint(load_best=args.resume_best)
 
     num_epochs = args.num_epochs or config.get("num_epochs", 500)
+    # SIGTERM (TPU-VM preemption / job eviction) → emergency checkpoint
+    # at the next metrics window, then TrainingPreempted below
+    trainer.install_signal_handlers()
     completed = False
     try:
         trainer.train(
             num_epochs=num_epochs, save_interval=config.get("save_interval", 5)
         )
         completed = True
+    except TrainingPreempted as exc:
+        print(f"[WARN] {exc} — resume with --resume")
     finally:
         if args.push_to_hub:
             try:

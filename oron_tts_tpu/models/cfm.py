@@ -22,6 +22,7 @@ from typing import Any
 
 import jax
 import jax.numpy as jnp
+import numpy as _np
 
 from oron_tts_tpu.models.dit import DiT
 
@@ -97,12 +98,22 @@ def per_row_noise(
     return jax.vmap(row)(keys)
 
 
+def sway_timesteps_host(steps: int, coef: float | None) -> _np.ndarray:
+    """Float64 host copy of the integration grid.
+
+    The ONE place the sway warp formula lives: the device grid the
+    sampler integrates on and the static CFG-interval membership are
+    both derived from this, so they can never desynchronize.
+    """
+    t = _np.linspace(0.0, 1.0, steps + 1)
+    if coef is not None:
+        t = t + coef * (_np.cos(_np.pi / 2 * t) - 1 + t)
+    return t
+
+
 def sway_timesteps(steps: int, coef: float | None, dtype=jnp.float32) -> jnp.ndarray:
     """Uniform [0,1] grid of steps+1 points, optionally sway-warped."""
-    t = jnp.linspace(0.0, 1.0, steps + 1, dtype=dtype)
-    if coef is not None:
-        t = t + coef * (jnp.cos(jnp.pi / 2 * t) - 1 + t)
-    return t
+    return jnp.asarray(sway_timesteps_host(steps, coef), dtype=dtype)
 
 
 @dataclass(frozen=True)
@@ -266,7 +277,6 @@ class CFM:
             raise ValueError(f"duration exceeds max_duration={max_duration}")
         # host-side validation when inputs are concrete (flow.py:191-230);
         # only traced inputs skip it (shapes are still statically bounded)
-        import numpy as _np
 
         if not isinstance(duration, jax.core.Tracer) and not isinstance(
             lens, jax.core.Tracer
@@ -381,17 +391,13 @@ class CFM:
         # Segment the step range by static CFG membership: with a
         # guidance interval the (monotonic) sway-warped grid yields at
         # most three contiguous runs — cond-only, guided, cond-only.
-        # Membership is decided host-side in float64 (same formula as
-        # sway_timesteps); a boundary step flipping by float error would
-        # merely move one step between regimes, never change the math of
-        # either. Without an interval this is ONE segment — the exact
-        # scan the sampler always ran.
+        # Membership is decided host-side in float64 on the same grid
+        # the integrator steps on (sway_timesteps_host); a boundary step
+        # flipping by float error would merely move one step between
+        # regimes, never change the math of either. Without an interval
+        # this is ONE segment — the exact scan the sampler always ran.
         if use_cfg and cfg_interval is not None:
-            t_np = _np.linspace(0.0, 1.0, steps + 1)[:-1]
-            if sway_sampling_coef is not None:
-                t_np = t_np + sway_sampling_coef * (
-                    _np.cos(_np.pi / 2 * t_np) - 1 + t_np
-                )
+            t_np = sway_timesteps_host(steps, sway_sampling_coef)[:-1]
             in_cfg = (t_np >= lo) & (t_np <= hi)
             bounds = [0] + [
                 i for i in range(1, steps) if in_cfg[i] != in_cfg[i - 1]

@@ -41,6 +41,16 @@ _PARAM_RULES: list[tuple[str, P]] = [
 ]
 
 
+def mesh_from_spec(spec: str) -> Mesh:
+    """Parse the CLI ``--mesh`` string ``DPxTP`` (e.g. ``2x4``).
+
+    Bare ``N`` means ``Nx1``. The ONE place the mesh CLI syntax lives —
+    cli/{infer,serve,train}.py all parse through here.
+    """
+    dp, _, tp = spec.partition("x")
+    return make_mesh(int(dp), int(tp or 1))
+
+
 def make_mesh(
     n_data: int | None = None,
     n_model: int = 1,

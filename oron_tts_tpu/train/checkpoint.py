@@ -60,9 +60,13 @@ def unflatten_tree(flat: Mapping[str, np.ndarray]) -> Any:
     return resolve(root)
 
 
-def save_pytree_npz(path: str | Path, trees: Mapping[str, Any],
-                    meta: Mapping[str, Any] | None = None) -> None:
-    """trees: name → pytree, e.g. {"params": ..., "ema": ..., "opt": ...}.
+def host_snapshot(trees: Mapping[str, Any],
+                  meta: Mapping[str, Any] | None = None) -> dict[str, np.ndarray]:
+    """Fetch trees to host numpy NOW (donation-safe) as the flat npz dict.
+
+    The device_get must happen before the next donated train step
+    invalidates the state buffers; the disk write (``write_npz``) carries
+    no device dependency and may run later on a writer thread.
 
     bfloat16 leaves (e.g. Adam mu under ``adam_mu_dtype: bfloat16``) are
     stored as uint16 views with their keys recorded in the metadata —
@@ -71,11 +75,20 @@ def save_pytree_npz(path: str | Path, trees: Mapping[str, Any],
     """
     import ml_dtypes
 
+    def owned(leaf: Any) -> Any:
+        # device_get on an ALREADY-host numpy leaf is identity (no copy)
+        # — e.g. a ZeRO-1-gathered opt state; a deferred write would then
+        # alias memory the caller may mutate, so take an owned copy
+        out = jax.device_get(leaf)
+        if out is leaf and isinstance(out, np.ndarray):
+            out = out.copy()
+        return out
+
     flat: dict[str, np.ndarray] = {}
     for name, tree in trees.items():
         if tree is None:
             continue
-        flat.update(flatten_tree(jax.device_get(tree), name))
+        flat.update(flatten_tree(jax.tree_util.tree_map(owned, tree), name))
     bf16_keys = []
     for key, value in flat.items():
         if value.dtype == ml_dtypes.bfloat16:
@@ -88,9 +101,20 @@ def save_pytree_npz(path: str | Path, trees: Mapping[str, Any],
         flat["__meta__"] = np.frombuffer(
             json.dumps(full_meta).encode(), dtype=np.uint8
         )
+    return flat
+
+
+def write_npz(path: str | Path, flat: Mapping[str, np.ndarray]) -> None:
+    """Atomic npz write (tmp file + rename) of a host_snapshot dict."""
     tmp = Path(path).with_name(".tmp-" + Path(path).name)
     np.savez(tmp, **flat)
     tmp.replace(path)
+
+
+def save_pytree_npz(path: str | Path, trees: Mapping[str, Any],
+                    meta: Mapping[str, Any] | None = None) -> None:
+    """trees: name → pytree, e.g. {"params": ..., "ema": ..., "opt": ...}."""
+    write_npz(path, host_snapshot(trees, meta))
 
 
 def load_pytree_npz(path: str | Path) -> tuple[dict[str, Any], dict[str, Any]]:
@@ -136,16 +160,64 @@ def stale_remote_checkpoint_paths(
 
 
 class CheckpointManager:
+    """Rotating checkpoints, optionally with asynchronous disk writes.
+
+    With ``async_writes=True`` the device→host snapshot still happens
+    inside ``save``/``save_best`` (the donated train step invalidates the
+    state buffers right after), but the multi-GB ``np.savez`` + rotation
+    run on a single background writer thread, so the training loop only
+    pays tunnel-fetch time, not disk time. One write is in flight at a
+    time (a second save joins the first — bounds host memory to one
+    snapshot); every read-side entry point (``load``,
+    ``latest_checkpoint``, ``push_to_hub``) joins the writer first so no
+    caller can observe a half-written rotation. Writer failures re-raise
+    on the next ``save``/``wait`` rather than vanishing on the thread.
+    """
+
     def __init__(
         self,
         checkpoint_dir: str | Path,
         model_name: str = "f5tts",
         max_checkpoints: int = 5,
+        async_writes: bool = False,
     ) -> None:
         self.checkpoint_dir = Path(checkpoint_dir)
         self.checkpoint_dir.mkdir(parents=True, exist_ok=True)
         self.model_name = model_name
         self.max_checkpoints = max_checkpoints
+        self.async_writes = async_writes
+        self._writer: Any = None  # threading.Thread | None
+        self._writer_error: BaseException | None = None
+
+    def wait(self) -> None:
+        """Block until any in-flight async write finishes; re-raise its error."""
+        if self._writer is not None:
+            self._writer.join()
+            self._writer = None
+        if self._writer_error is not None:
+            err, self._writer_error = self._writer_error, None
+            raise err
+
+    def _run_write(self, fn) -> None:
+        if not self.async_writes:
+            fn()
+            return
+        import threading
+
+        self.wait()
+
+        def job() -> None:
+            try:
+                fn()
+            except BaseException as e:  # surfaced by the next wait()/save
+                self._writer_error = e
+
+        # non-daemon: a normal interpreter exit joins it, so no truncated
+        # checkpoint survives an end-of-run race
+        self._writer = threading.Thread(
+            target=job, name="ckpt-writer", daemon=False
+        )
+        self._writer.start()
 
     def step_path(self, step: int) -> Path:
         return self.checkpoint_dir / f"{self.model_name}_step_{step:08d}.npz"
@@ -172,12 +244,17 @@ class CheckpointManager:
             meta.update(extra_state)
         trees = {"params": params, "opt": opt_state, "ema": ema_params}
         path = self.step_path(step)
-        save_pytree_npz(path, trees, meta)
+        flat = host_snapshot(trees, meta)  # before donation invalidates
         if config is not None:
             self.config_path().write_text(json.dumps(dict(config), indent=2))
-        if is_best:
-            save_pytree_npz(self.best_path(), trees, meta)
-        self._rotate()
+
+        def write() -> None:
+            write_npz(path, flat)
+            if is_best:
+                write_npz(self.best_path(), flat)
+            self._rotate()
+
+        self._run_write(write)
         return path
 
     def save_best(
@@ -199,7 +276,8 @@ class CheckpointManager:
         if extra_state:
             meta.update(extra_state)
         trees = {"params": params, "opt": opt_state, "ema": ema_params}
-        save_pytree_npz(self.best_path(), trees, meta)
+        flat = host_snapshot(trees, meta)
+        self._run_write(lambda: write_npz(self.best_path(), flat))
         return self.best_path()
 
     def load(
@@ -208,6 +286,7 @@ class CheckpointManager:
         load_best: bool = False,
     ) -> dict[str, Any]:
         """Returns {params, opt, ema, step, loss, ...}; fresh dict if missing."""
+        self.wait()
         if path is None:
             path = self.best_path() if load_best else self.latest_checkpoint()
         if path is None or not Path(path).exists():
@@ -235,6 +314,7 @@ class CheckpointManager:
         return sorted(out, key=lambda p: int(p.stem.rsplit("_", 1)[-1]))
 
     def latest_checkpoint(self) -> Path | None:
+        self.wait()
         ckpts = self._step_checkpoints()
         return ckpts[-1] if ckpts else None
 
@@ -255,6 +335,7 @@ class CheckpointManager:
     ) -> str:
         from huggingface_hub import HfApi
 
+        self.wait()  # never upload a half-written rotation
         card = self.checkpoint_dir / "README.md"
         card.write_text(self._model_card(), encoding="utf-8")
         api = HfApi()

@@ -335,6 +335,12 @@ def make_apply_accum_step(tx: optax.GradientTransformation, ema_decay: float,
     return jax.jit(fn, donate_argnums=(0, 1), **kw)
 
 
+class TrainingPreempted(RuntimeError):
+    """Raised after the emergency checkpoint when SIGTERM interrupted
+    training (TPU-VM preemption / job-manager eviction). The checkpoint
+    named in ``args`` is already on disk when this propagates."""
+
+
 class F5Trainer:
     """Drop-in trainer facade over the functional step functions."""
 
@@ -392,6 +398,9 @@ class F5Trainer:
         # ZeRO-1 (config "shard_opt_states"): AdamW moments shard over the
         # data mesh axis instead of replicating — see _apply_mesh
         self.shard_opt_states = bool(config.get("shard_opt_states", False))
+        self._opt_gather_jit = None  # cached by _fetchable_opt_state
+        self._preempt_requested = False
+        self._preempt_installed = False
 
         if model.variables is None:
             model.init_params(0)
@@ -441,6 +450,9 @@ class F5Trainer:
             checkpoint_dir,
             model_name="f5tts",
             max_checkpoints=config.get("max_checkpoints", 5),
+            # async disk writes: the loop pays only the device→host fetch;
+            # the multi-GB npz write + rotation happen on a writer thread
+            async_writes=bool(config.get("async_checkpoint", False)),
         )
         self.logger = self._setup_logger()
         self.writer = self._setup_tensorboard()
@@ -710,6 +722,7 @@ class F5Trainer:
                 total_loss += w_loss
                 n_updates += w_updates
                 pending = []
+                self._maybe_preempt()  # drain = host-sync point
 
         # flush a partial accumulation window (reference trainer.py:319-327);
         # the on-device finite count makes the mean scale come out right
@@ -726,6 +739,7 @@ class F5Trainer:
         if profiling:
             jax.profiler.stop_trace()
             self.logger.info("Profiler trace written to %s/profile", self.log_dir)
+        self._maybe_preempt()  # end-of-epoch flush is a sync point too
 
         self.epoch += 1
         epoch_time = time.monotonic() - epoch_start
@@ -808,6 +822,57 @@ class F5Trainer:
         finally:
             self.model.variables = saved
 
+    def install_signal_handlers(self) -> None:
+        """SIGTERM → emergency checkpoint at the next metrics window.
+
+        TPU-VM preemptions / job evictions deliver SIGTERM with a short
+        grace period (the reference has no analogue — recovery there is
+        manual ``--resume``, README.md:106). The handler only sets a
+        flag; the train loop acts at the next metrics-drain window,
+        which is already a host-sync point. Multi-host runs all-reduce
+        the flag there first, so a signal that lands on a subset of
+        hosts still produces one agreed decision and the (collective)
+        ZeRO-1 checkpoint gather cannot deadlock. After the checkpoint
+        is on disk, ``TrainingPreempted`` propagates out of ``train()``
+        for the CLI to do its best-effort hub push.
+
+        Opt-in (called by the train CLI, not the constructor): library
+        users and tests keep their process-global signal table.
+        """
+        import signal
+
+        def _on_term(signum, frame):  # noqa: ARG001 — signal signature
+            self._preempt_requested = True
+
+        signal.signal(signal.SIGTERM, _on_term)
+        self._preempt_installed = True
+
+    def _preempt_agreed(self) -> bool:
+        """The (possibly one-sided) SIGTERM flag, agreed across hosts."""
+        flag = self._preempt_requested
+        if jax.process_count() > 1:
+            from jax.experimental import multihost_utils
+
+            flag = bool(
+                multihost_utils.process_allgather(
+                    np.asarray(flag, dtype=np.bool_)
+                ).any()
+            )
+        return flag
+
+    def _maybe_preempt(self) -> None:
+        if not self._preempt_installed or not self._preempt_agreed():
+            return
+        self.logger.warning(
+            "SIGTERM received — emergency checkpoint at step %d",
+            self.global_step,
+        )
+        self.save_checkpoint(loss=None)
+        self.checkpoint_manager.wait()
+        raise TrainingPreempted(
+            f"preempted; checkpoint written at step {self.global_step}"
+        )
+
     def train(self, num_epochs: int, save_interval: int = 5) -> None:
         self.logger.info(
             f"Training: epochs {self.epoch}→{num_epochs}, "
@@ -873,6 +938,8 @@ class F5Trainer:
         self.finish()
 
     def finish(self) -> None:
+        # surface any async checkpoint-writer failure before declaring done
+        self.checkpoint_manager.wait()
         if self.writer:
             self.writer.flush()
             self.writer.close()
@@ -921,17 +988,29 @@ class F5Trainer:
         replicated first. COLLECTIVE in that case: every host must call
         this at the same point, BEFORE any rank-0-gated save. Single
         process (or replicated optimizer) returns the state as is.
+
+        Gathers LEAF AT A TIME and fetches each replicated copy to host
+        before the next: the transient HBM spike is one leaf, not the
+        full 2 × params of moments (which would claw back exactly the
+        headroom ZeRO-1 exists to free). The jitted identity-with-
+        out-shardings is cached on the trainer so repeated saves reuse
+        compiled gathers instead of re-tracing a fresh lambda.
         """
         opt = self.state.opt_state
         if (self.shard_opt_states and self.mesh is not None
                 and jax.process_count() > 1):
-            from oron_tts_tpu.parallel.mesh import replicated
+            if self._opt_gather_jit is None:
+                from oron_tts_tpu.parallel.mesh import replicated
 
-            rep = replicated(self.mesh)
-            opt = jax.jit(
-                lambda x: x,
-                out_shardings=jax.tree_util.tree_map(lambda _: rep, opt),
-            )(opt)
+                self._opt_gather_jit = jax.jit(
+                    lambda x: x, out_shardings=replicated(self.mesh),
+                )
+            gather = self._opt_gather_jit
+            # tree_map visits leaves in deterministic pytree order, so
+            # every host issues the collectives in the same sequence
+            opt = jax.tree_util.tree_map(
+                lambda x: jax.device_get(gather(x)), opt,
+            )
         return opt
 
     def save_checkpoint(self, is_best: bool = False,

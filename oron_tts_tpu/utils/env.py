@@ -1,9 +1,30 @@
-"""Tiny .env loader (python-dotenv is not in the image)."""
+"""Tiny .env loader (python-dotenv is not in the image) + platform pinning."""
 
 from __future__ import annotations
 
 import os
 from pathlib import Path
+
+
+def pin_platform(want: str) -> None:
+    """Pin JAX onto ``want`` — the ONLY reliable recipe on images that
+    pre-register a remote-TPU (axon) plugin.
+
+    ``jax.config.update("jax_platforms", ...)`` alone is NOT enough there:
+    the plugin still initializes at first backend use and, when the tunnel
+    is down, hangs forever dialing it. The env var must be set and the
+    plugin's pool var dropped BEFORE the first backend use (importing jax
+    is fine; initializing a backend is not).
+    """
+    os.environ["JAX_PLATFORMS"] = want
+    if want != "axon":
+        os.environ.pop("PALLAS_AXON_POOL_IPS", None)
+    import jax
+
+    try:
+        jax.config.update("jax_platforms", want)
+    except RuntimeError:
+        pass
 
 
 def load_dotenv(path: str | Path = ".env") -> bool:

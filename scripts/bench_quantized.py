@@ -162,7 +162,9 @@ def main() -> None:
     import jax
 
     if args.device:
-        jax.config.update("jax_platforms", args.device)
+        from oron_tts_tpu.utils.env import pin_platform
+
+        pin_platform(args.device)
     import jax.numpy as jnp
 
     print(f"# backend={jax.default_backend()}", file=sys.stderr)

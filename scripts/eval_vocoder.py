@@ -57,9 +57,9 @@ def main() -> None:
     args = ap.parse_args()
 
     if args.device:
-        import jax
+        from oron_tts_tpu.utils.env import pin_platform
 
-        jax.config.update("jax_platforms", args.device)
+        pin_platform(args.device)
     import jax
     import jax.numpy as jnp
     import numpy as np

@@ -40,10 +40,9 @@ def main() -> None:
 
     import os
 
-    os.environ.setdefault("JAX_PLATFORMS", "cpu")
-    import jax
+    from oron_tts_tpu.utils.env import pin_platform
 
-    jax.config.update("jax_platforms", "cpu")
+    pin_platform(os.environ.get("JAX_PLATFORMS") or "cpu")
 
     import numpy as np
     import torch

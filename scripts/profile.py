@@ -31,9 +31,9 @@ def main() -> None:
     args = parser.parse_args()
 
     if args.device:
-        import jax
+        from oron_tts_tpu.utils.env import pin_platform
 
-        jax.config.update("jax_platforms", args.device)
+        pin_platform(args.device)
     from oron_tts_tpu.utils.cache import enable_compilation_cache
 
     enable_compilation_cache()

@@ -21,19 +21,15 @@ REPO_ROOT = Path(__file__).resolve().parent.parent
 if str(REPO_ROOT) not in sys.path:
     sys.path.insert(0, str(REPO_ROOT))
 
-# Deployment images may pin JAX onto a remote-TPU platform at a level the
-# JAX_PLATFORMS env var alone can't override (plugin registration rewrites
-# the platform list). Honor the env var via the config before any backend
-# initializes — same guard as tests/conftest.py and __graft_entry__.py —
-# so `JAX_PLATFORMS=cpu scripts/test_pipeline.py` never dials a TPU.
-_want_platform = os.environ.get("JAX_PLATFORMS")
-if _want_platform:
-    import jax
+# Pin cpu before any backend initializes: this harness runs a tiny model
+# (CPU by design, like the reference's CPU smoke test), and deployment
+# images BAKE JAX_PLATFORMS=<remote TPU> into every environment — so that
+# var is not a user choice here and honoring it would dial the tunnel
+# (blocks ~25 min when it's down). ORON_SMOKE_PLATFORM is the explicit
+# override for running the smoke on a real device.
+from oron_tts_tpu.utils.env import pin_platform  # noqa: E402
 
-    try:
-        jax.config.update("jax_platforms", _want_platform)
-    except RuntimeError:
-        pass
+pin_platform(os.environ.get("ORON_SMOKE_PLATFORM") or "cpu")
 
 TINY_MODEL = {
     "vocab_size": 65, "dim": 64, "depth": 2, "heads": 2, "ff_mult": 2,

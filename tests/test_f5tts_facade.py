@@ -234,6 +234,66 @@ def test_checkpoint_roundtrip(tmp_path):
     assert fresh["step"] == 0 and fresh["params"] is None
 
 
+def test_async_checkpoint_roundtrip(tmp_path):
+    """async_writes=True: same on-disk contract, writes just happen on a
+    writer thread that every read-side entry point joins first."""
+    import jax
+
+    from oron_tts_tpu.train.checkpoint import CheckpointManager
+
+    model = F5TTS.from_config(TINY_CFG)
+    variables = model.init_params(0)
+
+    cm = CheckpointManager(tmp_path, max_checkpoints=2, async_writes=True)
+    for step in (10, 20, 30, 40):
+        cm.save(step, variables["params"], is_best=(step == 20),
+                config=TINY_CFG)
+    info = cm.load()  # joins the writer before reading
+    assert info["step"] == 40
+    steps = sorted(p.name for p in tmp_path.glob("f5tts_step_*.npz"))
+    assert steps == ["f5tts_step_00000030.npz", "f5tts_step_00000040.npz"]
+    assert (tmp_path / "f5tts_best.npz").exists()
+    for a, b in zip(jax.tree_util.tree_leaves(info["params"]),
+                    jax.tree_util.tree_leaves(variables["params"])):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    # snapshot happens inside save(): mutating the source pytree after
+    # save returns must not leak into the bytes on disk
+    params = jax.tree_util.tree_map(
+        lambda x: np.array(x), variables["params"]  # writable host copies
+    )
+    cm2 = CheckpointManager(tmp_path / "mut", async_writes=True)
+    cm2.save(1, params)
+    for leaf in jax.tree_util.tree_leaves(params):
+        leaf.fill(7.0)
+    loaded = cm2.load()
+    assert not any(
+        np.all(np.asarray(leaf) == 7.0)
+        for leaf in jax.tree_util.tree_leaves(loaded["params"])
+        if np.asarray(leaf).size
+    )
+
+
+def test_async_checkpoint_error_propagates(tmp_path, monkeypatch):
+    """A writer-thread failure must re-raise on the next wait()/save, not
+    vanish on the thread."""
+    from oron_tts_tpu.train import checkpoint as ckpt
+
+    cm = ckpt.CheckpointManager(tmp_path, async_writes=True)
+
+    def boom(path, flat):
+        raise OSError("disk full")
+
+    monkeypatch.setattr(ckpt, "write_npz", boom)
+    cm.save(1, {"w": np.zeros(2, np.float32)})
+    with pytest.raises(OSError, match="disk full"):
+        cm.wait()
+    # error is consumed: the manager is usable again
+    monkeypatch.undo()
+    cm.save(2, {"w": np.zeros(2, np.float32)})
+    assert cm.load()["step"] == 2
+
+
 def test_stale_remote_paths():
     from oron_tts_tpu.train.checkpoint import stale_remote_checkpoint_paths
 

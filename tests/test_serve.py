@@ -292,6 +292,37 @@ def test_hostile_content_length(server_port):
             assert b"HTTP/1.1 200" not in rest  # no desynced 2nd response
 
 
+def test_non_integer_content_length(server_port):
+    """An unparseable Content-Length must 400 AND close the connection:
+    the body was never drained, so keep-alive reuse would parse it as the
+    next request line (same desync as the out-of-range case)."""
+    import socket
+
+    with socket.create_connection(("127.0.0.1", server_port),
+                                  timeout=10) as s:
+        s.sendall(
+            b"POST /synthesize HTTP/1.1\r\n"
+            b"Host: t\r\nContent-Type: application/json\r\n"
+            b"Content-Length: abc\r\n\r\n"
+            b'GET /healthz HTTP/1.1\r\n\r\n'  # must NOT become a request
+        )
+        s.settimeout(10)
+        data = b""
+        while b"\r\n\r\n" not in data:
+            chunk = s.recv(4096)
+            if not chunk:
+                break
+            data += chunk
+        assert b"400" in data.split(b"\r\n", 1)[0], data[:120]
+        rest = b""
+        while True:
+            chunk = s.recv(4096)
+            if not chunk:
+                break
+            rest += chunk
+        assert b"HTTP/1.1 200" not in rest  # no desynced 2nd response
+
+
 def test_batch_mixed_none_seeds(server_port):
     """A merged batch mixing unseeded and seeded requests must succeed
     on the BATCHED path (the chunk-seed rule maps None to base 0) and

@@ -364,3 +364,42 @@ def test_best_checkpoint_written_between_save_intervals(tmp_path):
     trainer2.load_checkpoint(load_best=True)
     assert trainer2.epoch == 1
     assert np.isfinite(trainer2._best_val)
+
+
+def test_sigterm_preemption_checkpoint(tmp_path):
+    """SIGTERM mid-epoch → emergency checkpoint on disk, TrainingPreempted
+    raised at the next metrics window, and the checkpoint resumes."""
+    import os
+    import signal
+
+    from oron_tts_tpu.train.trainer import F5Trainer, TrainingPreempted
+
+    ds = _synthetic_dataset()
+    collator = TTSCollator(pad_to_multiple=64)
+    loader = DataLoader(ds, FixedBatchSampler(len(ds), 3, seed=1), collator,
+                        num_workers=0)
+    model = F5TTS.from_config(F5Config.from_dict(TINY_CFG))
+    trainer = F5Trainer(
+        config=TINY_CFG, model=model, train_loader=loader,
+        log_dir=str(tmp_path / "logs"), checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    prev = signal.getsignal(signal.SIGTERM)
+    try:
+        trainer.install_signal_handlers()
+        os.kill(os.getpid(), signal.SIGTERM)  # the real delivery path
+        with pytest.raises(TrainingPreempted):
+            trainer.train_epoch(total_epochs=2)
+    finally:
+        signal.signal(signal.SIGTERM, prev)
+    ckpts = list((tmp_path / "ckpt").glob("f5tts_step_*.npz"))
+    assert ckpts, "emergency checkpoint missing"
+
+    model2 = F5TTS.from_config(F5Config.from_dict(TINY_CFG))
+    trainer2 = F5Trainer(
+        config=TINY_CFG, model=model2, train_loader=loader,
+        log_dir=str(tmp_path / "logs2"), checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    trainer2.load_checkpoint()
+    assert trainer2.global_step == trainer.global_step
+    # a fresh trainer without the flag continues normally
+    assert np.isfinite(trainer2.train_epoch(total_epochs=2))
