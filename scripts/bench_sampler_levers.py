@@ -11,6 +11,9 @@ protocol — across the opt-in solver levers:
                     (arXiv:2404.07724's recommended band shape)
   midpoint-16       16 midpoint steps = 32 NFE (error ~1/S^2 vs 1/S)
   midpoint+interval both levers together
+  int8 w8a16        int8 DiT projection weights, Pallas dequant-in-kernel
+  int8_dynamic w8a8 + per-token activation quant, s8xs8 int8-MXU dot
+  int8_dyn+interval the compute lever and the NFE lever together
 
 Timing only (random weights); numerics of every lever are pinned by
 tests/test_t_mods_hoist.py, test_cfg_interval.py, test_ode_method.py.
@@ -38,16 +41,17 @@ def main() -> None:
 
     from bench import force_sync, random_params_like
     from oron_tts_tpu.models.cfm import CFM, CFMConfig
-    from oron_tts_tpu.models.dit import DiT
+    from oron_tts_tpu.models.dit import DiT, quantize_dit_params
 
     print(f"# backend={jax.default_backend()}", file=sys.stderr)
 
-    model = DiT(
+    base_kw = dict(
         dim=1024, depth=22, heads=16, dim_head=64, ff_mult=4, dropout=0.0,
         mel_dim=100, vocab_size=65, text_dim=512, conv_layers=4,
         dtype=jnp.bfloat16, use_flash=True, scan_blocks=True,
         conv_impl="pallas",
     )
+    model = DiT(**base_kw)
     cfm = CFM(model, CFMConfig())
 
     t_total = 120 * 13
@@ -69,25 +73,40 @@ def main() -> None:
     noise = jax.random.normal(k3, (1, bucket, 100), jnp.float32)
     force_sync(variables, noise, text)
 
+    # int8 serving variants: quantized params + a quant-mode DiT (the
+    # same in-memory transform F5TTS.quantize_for_serving applies)
+    qvars = {"params": jax.jit(quantize_dit_params)(variables["params"])}
+    force_sync(qvars)
+    cfm_w8a16 = CFM(DiT(**base_kw, quant="int8"), CFMConfig())
+    cfm_w8a8 = CFM(DiT(**base_kw, quant="int8_dynamic"), CFMConfig())
+
     cases = [
-        ("baseline (euler32, hoist, full CFG)", dict(steps=32)),
-        ("no-hoist", dict(steps=32, hoist_t_mods=False)),
-        ("cfg-interval [0.10,0.70]", dict(steps=32, cfg_interval=(0.10, 0.70))),
-        ("midpoint-16 (32 NFE)", dict(steps=16, method="midpoint")),
-        ("midpoint-16 + interval",
+        ("baseline (euler32, hoist, full CFG)", cfm, variables,
+         dict(steps=32)),
+        ("no-hoist", cfm, variables, dict(steps=32, hoist_t_mods=False)),
+        ("cfg-interval [0.10,0.70]", cfm, variables,
+         dict(steps=32, cfg_interval=(0.10, 0.70))),
+        ("midpoint-16 (32 NFE)", cfm, variables,
+         dict(steps=16, method="midpoint")),
+        ("midpoint-16 + interval", cfm, variables,
          dict(steps=16, method="midpoint", cfg_interval=(0.10, 0.70))),
+        ("int8 w8a16", cfm_w8a16, qvars, dict(steps=32)),
+        ("int8_dynamic w8a8", cfm_w8a8, qvars, dict(steps=32)),
+        ("int8_dynamic + interval", cfm_w8a8, qvars,
+         dict(steps=32, cfg_interval=(0.10, 0.70))),
     ]
 
-    for label, kw in cases:
-        def run(variables, cond, text, duration, lens, noise, _kw=kw):
-            mel, _ = cfm.sample(
+    for label, case_cfm, case_vars, kw in cases:
+        def run(variables, cond, text, duration, lens, noise,
+                _kw=kw, _cfm=case_cfm):
+            mel, _ = _cfm.sample(
                 variables, cond, text, duration, lens,
                 cfg_strength=2.0, sway_sampling_coef=-1.0, noise=noise, **_kw,
             )
             return jnp.mean(jnp.abs(mel))
 
         fn = jax.jit(run)
-        args = (variables, cond, text, duration, lens, noise)
+        args = (case_vars, cond, text, duration, lens, noise)
         t0 = time.perf_counter()
         out = float(fn(*args))
         cold = time.perf_counter() - t0
