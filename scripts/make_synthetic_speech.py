@@ -208,6 +208,62 @@ def ood_speech_clip(rng: np.random.Generator, seconds: float) -> np.ndarray:
         if peak > 0 else y.astype(np.float32)
 
 
+def augment_clip(rng: np.random.Generator, x: np.ndarray) -> np.ndarray:
+    """Recording-condition augmentations over a training-family clip.
+
+    Widens the vocoder-training distribution toward what real recordings
+    add on top of clean speech — the bundled default was trained on the
+    clean train family only and its OOD gap (EVAL.json) is partly these
+    conditions. Each effect is applied independently with probability
+    1/2; the chain stays structurally distinct from the ood family's
+    generator (no glottal-pulse source, no IIR resonator cascade, no
+    dense exponential reverb tail — reflections here are a few discrete
+    taps):
+
+      - additive colored noise at SNR 12-40 dB
+      - spectral tilt EQ (±~3 dB/octave)
+      - 1-3 discrete early reflections at 8-60 ms, gain 0.08-0.35
+      - lowpass bandlimiting to 4-10 kHz
+      - level diversity (peak 0.2-0.95) with occasional soft clipping
+    """
+    n = len(x)
+    if rng.random() < 0.5:  # colored noise at a draw of SNR
+        spec = np.fft.rfft(rng.standard_normal(n))
+        freqs = np.maximum(np.fft.rfftfreq(n, 1 / SR), 1.0)
+        noise = np.fft.irfft(spec * freqs ** rng.uniform(-1.0, 0.2), n=n)
+        snr_db = rng.uniform(12.0, 40.0)
+        sig_rms = np.sqrt(np.mean(x**2)) + 1e-8
+        noise_rms = np.sqrt(np.mean(noise**2)) + 1e-8
+        x = x + noise * (sig_rms / noise_rms) * 10 ** (-snr_db / 20)
+    if rng.random() < 0.5:  # spectral tilt
+        spec = np.fft.rfft(x)
+        freqs = np.maximum(np.fft.rfftfreq(n, 1 / SR), 30.0)
+        tilt_db_oct = rng.uniform(-3.0, 3.0)
+        x = np.fft.irfft(
+            spec * (freqs / 1000.0) ** (tilt_db_oct / 6.02), n=n
+        )
+    if rng.random() < 0.5:  # a few discrete early reflections
+        y = x.copy()
+        for _ in range(int(rng.integers(1, 4))):
+            delay = int(SR * rng.uniform(0.008, 0.06))
+            gain = rng.uniform(0.08, 0.35) * rng.choice([-1.0, 1.0])
+            y[delay:] += gain * x[: n - delay]
+        x = y
+    if rng.random() < 0.5:  # bandlimited recording chain
+        cutoff = rng.uniform(4000.0, 10000.0)
+        spec = np.fft.rfft(x)
+        freqs = np.fft.rfftfreq(n, 1 / SR)
+        spec *= 1.0 / (1.0 + (freqs / cutoff) ** 8)
+        x = np.fft.irfft(spec, n=n)
+    peak = np.abs(x).max() + 1e-8
+    target = rng.uniform(0.2, 0.95)
+    x = x / peak * target
+    if rng.random() < 0.15:  # mild soft clipping (hot input gain)
+        drive = rng.uniform(1.2, 2.5)
+        x = np.tanh(x * drive) / np.tanh(drive) * target
+    return x.astype(np.float32)
+
+
 def coverage_clip(rng: np.random.Generator, seconds: float) -> np.ndarray:
     """Sweeps / colored noise / tone stacks: mel-space coverage fillers."""
     n = int(SR * seconds)
@@ -245,6 +301,11 @@ def main() -> None:
                          "'ood' = a structurally different generator for "
                          "out-of-distribution evaluation (no coverage "
                          "fillers)")
+    ap.add_argument("--augment-prob", type=float, default=0.0,
+                    help="Probability of passing a train-family clip "
+                         "through the recording-condition augmentation "
+                         "chain (noise/EQ/reflections/bandlimit/level; "
+                         "see augment_clip). Ignored for --family ood.")
     args = ap.parse_args()
 
     out = Path(args.out)
@@ -260,6 +321,8 @@ def main() -> None:
             clip = coverage_clip(rng, seconds)
         else:
             clip = speech_clip(rng, seconds)
+        if args.family != "ood" and rng.random() < args.augment_prob:
+            clip = augment_clip(rng, clip)
         path = out / "wavs" / f"clip_{i:05d}.wav"
         write_wav(path, clip, SR)
         meta.append({"audio_path": str(path), "text": "", "lang": "mn",
