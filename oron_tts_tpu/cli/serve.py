@@ -311,8 +311,8 @@ class Handler(BaseHTTPRequestHandler):
                     common = dict(common, **ref)
                 if self.path == "/synthesize":
                     text = req.get("text")
-                    if not text or not str(text).strip():
-                        self._json(400, {"error": "missing 'text'"})
+                    if not isinstance(text, str) or not text.strip():
+                        self._json(400, {"error": "missing 'text' string"})
                         return
                     wav = self._synthesize_one(text, seed, common,
                                                cloned=bool(ref))
@@ -324,15 +324,17 @@ class Handler(BaseHTTPRequestHandler):
                     self.wfile.write(body)
                 elif self.path == "/synthesize_stream":
                     text = req.get("text")
-                    if not text or not str(text).strip():
-                        self._json(400, {"error": "missing 'text'"})
+                    if not isinstance(text, str) or not text.strip():
+                        self._json(400, {"error": "missing 'text' string"})
                         return
                     self._stream(text, seed, common)
                     _record_latency(t0)
                 elif self.path == "/synthesize_batch":
                     texts = req.get("texts")
-                    if not texts or not isinstance(texts, list):
-                        self._json(400, {"error": "missing 'texts' list"})
+                    if (not texts or not isinstance(texts, list)
+                            or not all(isinstance(t, str) for t in texts)):
+                        self._json(400, {"error": "missing 'texts' list "
+                                                  "of strings"})
                         return
                     if len(texts) > self.MAX_BATCH_TEXTS:
                         self._json(413, {

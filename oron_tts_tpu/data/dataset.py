@@ -541,11 +541,22 @@ class GlobalBatchSchedule:
         self.shuffle = shuffle
         self.seed = seed
         self.epoch = 0
+        # the plan is deterministic in (seed, epoch); cache it so len()
+        # callers (tqdm, DataLoader.__len__) don't re-sort/re-pack the
+        # whole corpus every epoch
+        self._plan_cache: tuple[int, list[list[int]]] | None = None
 
     def set_epoch(self, epoch: int) -> None:
         self.epoch = epoch
 
     def _global_batches(self) -> list[list[int]]:
+        if self._plan_cache is not None and self._plan_cache[0] == self.epoch:
+            return self._plan_cache[1]
+        plan = self._build_global_batches()
+        self._plan_cache = (self.epoch, plan)
+        return plan
+
+    def _build_global_batches(self) -> list[list[int]]:
         n = len(self.frames)
         if self.frames_threshold:
             order = sorted(range(n), key=lambda i: self.frames[i])

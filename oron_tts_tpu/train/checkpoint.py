@@ -264,6 +264,7 @@ class CheckpointManager:
         opt_state: Any = None,
         ema_params: Any = None,
         loss: float | None = None,
+        config: Mapping[str, Any] | None = None,
         extra_state: Mapping[str, Any] | None = None,
     ) -> Path:
         """Write ONLY ``f5tts_best.npz`` (no step file, no rotation).
@@ -271,13 +272,22 @@ class CheckpointManager:
         Best-val epochs between ``save_interval`` boundaries would
         otherwise be lost forever: the reference only materializes the
         best checkpoint on interval epochs (trainer.py:397-399), so a
-        minimum at epoch 7 with save_interval=5 never reaches disk."""
+        minimum at epoch 7 with save_interval=5 never reaches disk.
+
+        ``config.json`` is written here too: a run preempted before its
+        first interval save may leave ``f5tts_best.npz`` as the dir's
+        only checkpoint, and without the config beside it ``oron-infer``
+        would rebuild the default (Base) architecture and fail on a
+        non-default model with an opaque tree mismatch."""
         meta: dict[str, Any] = {"step": step, "loss": loss}
         if extra_state:
             meta.update(extra_state)
         trees = {"params": params, "opt": opt_state, "ema": ema_params}
         flat = host_snapshot(trees, meta)
+        if config is not None:
+            self.config_path().write_text(json.dumps(dict(config), indent=2))
         self._run_write(lambda: write_npz(self.best_path(), flat))
+        return self.best_path()
         return self.best_path()
 
     def load(

@@ -931,6 +931,7 @@ class F5Trainer:
                         ema_params=self._relayout(self.state.ema_params,
                                                   scan_blocks=False),
                         loss=avg_loss,
+                        config=self.config,
                         extra_state={"epoch": self.epoch,
                                      "best_val": self._best_val},
                     )

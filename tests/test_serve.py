@@ -190,6 +190,15 @@ def test_error_paths(server_port):
     assert status == 400 and ctype == "application/json"
     status, _, body = _post(server_port, "/synthesize", {"text": "x", "steps": None})
     assert status == 400 and b"invalid parameter" in body
+    # non-string text is a 400 at the door, not a 500 TypeError from
+    # deep inside split_text_for_synthesis
+    status, _, body = _post(server_port, "/synthesize", {"text": 123})
+    assert status == 400 and b"missing 'text'" in body
+    status, _, body = _post(server_port, "/synthesize_stream", {"text": 123})
+    assert status == 400 and b"missing 'text'" in body
+    status, _, body = _post(server_port, "/synthesize_batch",
+                            {"texts": ["ok", 5]})
+    assert status == 400 and b"missing 'texts'" in body
     status, _, body = _post(server_port, "/synthesize",
                             {"text": "x", "lang": "en", "steps": 1})
     assert status == 400 and "Unsupported language".encode() in body
