@@ -34,6 +34,7 @@ from collections import deque
 from contextlib import contextmanager
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from pathlib import Path
+from typing import Sequence
 
 _model = None
 _model_lock = threading.Lock()
@@ -430,6 +431,48 @@ class Handler(BaseHTTPRequestHandler):
         print(f"[serve] {self.address_string()} {fmt % fmt_args}")
 
 
+def prewarm_lattice(model, max_batch: int = 16,
+                    chunk_chars: Sequence[int] = (38, 76, 120),
+                    n_steps: int = 32) -> int:
+    """Compile every (padded-rows, T-bucket) executable live traffic can
+    reach for the given chunk lengths, by driving the REAL serving path.
+
+    Rather than reconstructing jit avals by hand (fragile), each combo is
+    produced the way live traffic produces it: ``synthesize_batch`` on r
+    same-length texts → one length group of exactly that padded row count
+    and bucket. ``_length_groups`` caps rows at GROUP_FRAME_BUDGET//bucket
+    and ``_pad_rows`` aliases odd sizes onto even avals, so the reachable
+    lattice per bucket is small ({1,2} ∪ evens ≤ cap — ≤9 combos); combos
+    that cannot occur live are never compiled. Each solve also warms the
+    matching vocoder-decode executable and, with the persistent compile
+    cache enabled, persists everything for later restarts. Returns the
+    number of distinct executables warmed."""
+    cls = type(model)
+    row_multiple = model._row_multiple
+    warmed = 0
+    for c in chunk_chars:
+        frames = max(50, int(c * 13))
+        bucket = model._bucket(frames)
+        cap = min(max_batch,
+                  max(1, cls.GROUP_FRAME_BUDGET * max(1, row_multiple)
+                      // bucket))
+        if row_multiple > 1:
+            cap = max(row_multiple, cap - cap % row_multiple)
+        seen: set[int] = set()
+        for rows in range(1, cap + 1):
+            padded = cls._pad_rows(rows, row_multiple)
+            if padded in seen:
+                continue
+            seen.add(padded)
+            t0 = time.perf_counter()
+            model.synthesize_batch(["а" * c] * rows, n_steps=n_steps, seed=0)
+            warmed += 1
+            print(f"[serve] prewarm rows={padded} bucket={bucket}: "
+                  f"{time.perf_counter() - t0:.1f}s")
+    print(f"[serve] prewarm done: {warmed} (rows, bucket) combos compiled")
+    return warmed
+
+
 def main() -> None:
     global _model, _batcher
     parser = argparse.ArgumentParser(description="OronTTS-TPU HTTP server")
@@ -440,6 +483,18 @@ def main() -> None:
     parser.add_argument("--no-ema", action="store_true")
     parser.add_argument("--warmup", action="store_true",
                         help="Pre-compile the default chunk bucket at startup")
+    parser.add_argument("--warmup-full", nargs="?", const="38,76,120",
+                        default=None, metavar="CHARS",
+                        help="Pre-compile EVERY (rows, T-bucket) executable "
+                             "live traffic can reach for the given "
+                             "comma-separated chunk lengths in characters "
+                             "(default 38,76,120 → 512/1024/1664-frame "
+                             "buckets). One-time deploy cost; combined "
+                             "with the persistent compile cache, later "
+                             "restarts warm in seconds and requests at the "
+                             "warmed lengths never pay a compile (other "
+                             "lengths hit other 64-frame buckets and still "
+                             "compile once each).")
     parser.add_argument("--no-batching", action="store_true",
                         help="Disable the cross-request micro-batcher "
                              "(each /synthesize runs alone)")
@@ -494,7 +549,10 @@ def main() -> None:
     _meta["params"] = _model.num_params()
     if not args.no_batching:
         _batcher = MicroBatcher(_model, max_batch=args.max_batch)
-    if args.warmup:
+    if args.warmup_full is not None:
+        chars = [int(c) for c in args.warmup_full.split(",") if c.strip()]
+        prewarm_lattice(_model, max_batch=args.max_batch, chunk_chars=chars)
+    elif args.warmup:
         # warm the EXACT path real requests take. With batching enabled,
         # /synthesize rides the micro-batcher → synthesize_batch →
         # _dispatch_chunk_groups, whose jit avals (stacked [B,2] keys,

@@ -341,3 +341,26 @@ def test_batch_mixed_none_seeds(server_port):
         {"texts": ["сайн байна уу", "за тэгье"], "steps": 1},
     )
     assert status == 200
+
+
+def test_prewarm_lattice_covers_live_traffic():
+    """After prewarm_lattice, no live request shape within the warmed
+    chunk lengths triggers a new jit entry — the first real request
+    never pays a compile."""
+    model = F5TTS.from_config(F5Config.from_dict(TINY_CFG))
+    model.init_params(0)
+    warmed = serve.prewarm_lattice(
+        model, max_batch=4, chunk_chars=(10, 20), n_steps=2,
+    )
+    assert warmed == 6  # {1,2,4} rows x 2 buckets
+    n_keys = len(model._sample_cache)
+    # mixed lengths inside the warmed buckets: 10-14 non-space chars →
+    # the 192-frame bucket, 20-24 → the 320-frame bucket (chars*13
+    # rounded up to 64). Covers rows {1,2,4} and a mixed-length split.
+    model.synthesize_batch(["а" * 11, "а" * 13, "а" * 21], n_steps=2)
+    model.synthesize_batch(["а" * 22] * 4, n_steps=2)
+    model.synthesize_batch(["а" * 10], n_steps=2)
+    assert len(model._sample_cache) == n_keys, (
+        "live request compiled a shape prewarm missed: "
+        f"{sorted(map(str, model._sample_cache))}"
+    )
