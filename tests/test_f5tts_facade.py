@@ -502,3 +502,21 @@ def test_cfm_sample_validates_jnp_inputs():
             model.variables, cond, text,
             duration=jnp.asarray([0]), lens=jnp.asarray([0]), steps=1,
         )
+
+
+def test_save_best_writes_config(tmp_path):
+    """A dir whose ONLY checkpoint is f5tts_best.npz (run preempted before
+    the first interval save) must still carry config.json, or infer would
+    rebuild the default Base architecture for a non-default model."""
+    from oron_tts_tpu.train.checkpoint import CheckpointManager
+
+    model = F5TTS.from_config(TINY_CFG)
+    variables = model.init_params(0)
+    cm = CheckpointManager(tmp_path)
+    path = cm.save_best(7, variables["params"], loss=0.9, config=TINY_CFG,
+                        extra_state={"epoch": 1, "best_val": 0.9})
+    assert path == tmp_path / "f5tts_best.npz" and path.exists()
+    assert not list(tmp_path.glob("f5tts_step_*.npz"))
+    assert cm.load_config()["model"]["dim"] == 64
+    info = cm.load(path=path)
+    assert info["step"] == 7 and info["best_val"] == 0.9
