@@ -1,9 +1,11 @@
 """Benchmark: Base-config synthesis RTF + train-step MFU on one TPU chip.
 
 Prints ONE JSON line whose headline is the synthesis RTF
-({"metric", "value", "unit", "vs_baseline"}) with the training-step
-measurements as extra keys (train_step_ms, train_frames_per_s,
-train_audio_s_per_s, train_mfu, train_vs_ref).
+({"metric", "value", "unit", "vs_baseline"}) with the fast-lever RTF
+(rtf_fast_levers: w8a8 int8 + guidance interval), batched-serving
+throughput (serve_utts_per_s, serve_audio_s_per_s) and training-step
+measurements (train_step_ms, train_frames_per_s, train_audio_s_per_s,
+train_mfu, train_vs_ref) as extra keys.
 
 Baselines:
 - RTF target (BASELINE.md): < 0.05 per v5e chip for Base DiT (dim=1024,
@@ -128,7 +130,7 @@ def main() -> None:
     # phases run in their own frames so each one's device buffers (params,
     # jit caches) are freed before the next — the B=12 no-remat train step
     # alone needs ~14.9 of the 15.75 GB HBM
-    rtf = bench_synthesis(jax, jnp)
+    rtf, fast = bench_synthesis(jax, jnp)
     gc.collect()
     serve = bench_serving(jax, jnp)
     gc.collect()
@@ -139,6 +141,7 @@ def main() -> None:
         "value": round(rtf, 5),
         "unit": "rtf",
         "vs_baseline": round(TARGET_RTF / rtf, 3),
+        **fast,
         **serve,
         **train,
     }))
@@ -158,12 +161,13 @@ def bench_synthesis(jax, jnp) -> float:
     conv_impl = os.environ.get("ORON_BENCH_CONV", "pallas")
     attn_impl = os.environ.get("ORON_BENCH_IMPL") or None  # lanes/flash/einsum
     # Base config, bf16 compute
-    model = DiT(
+    base_kw = dict(
         dim=1024, depth=22, heads=16, dim_head=64, ff_mult=4,
         dropout=0.0, mel_dim=100, vocab_size=65, text_dim=512, conv_layers=4,
         dtype=jnp.bfloat16, use_flash=use_flash, scan_blocks=scan_blocks,
         conv_impl=conv_impl, attn_impl=attn_impl,
     )
+    model = DiT(**base_kw)
     print(f"# use_flash={use_flash} scan_blocks={scan_blocks} "
           f"conv_impl={conv_impl} attn_impl={attn_impl or 'auto'}",
           file=sys.stderr)
@@ -241,7 +245,53 @@ def bench_synthesis(jax, jnp) -> float:
     assert bool(np.isfinite(np.asarray(wav)).all()), "non-finite output"
     # release this phase's executables + buffers before the next phase
     synthesize.clear_cache()
-    return rtf
+
+    # Fast-lever protocol: the two measured-best opt-in serving levers
+    # composed — int8_dynamic w8a8 (per-token activation quant + s8×s8
+    # int8-MXU dot, 2× bf16 peak) and the guidance interval t∈[0.10,0.70]
+    # (CFG's batch-doubled forward only inside the band, arXiv:2404.07724).
+    # Same bucket/protocol incl. vocoder decode; reported as
+    # rtf_fast_levers so the headline stays the exact-numerics default.
+    # Lever numerics pinned by tests/test_quantized.py,
+    # tests/test_cfg_interval.py; ablation in docs/KERNELS.md.
+    from oron_tts_tpu.models.dit import quantize_dit_params
+
+    qvars = {"params": jax.jit(quantize_dit_params)(variables["params"])}
+    force_sync(qvars)
+    cfm_q = CFM(DiT(**base_kw, quant="int8_dynamic"), CFMConfig())
+
+    @jax.jit
+    def synthesize_fast(qvars, voc_vars, cond, text, duration, lens, noise):
+        mel, _ = cfm_q.sample(
+            qvars, cond, text, duration, lens,
+            steps=n_steps, cfg_strength=cfg_strength, sway_sampling_coef=sway,
+            noise=noise, cfg_interval=(0.10, 0.70),
+        )
+        mel = jnp.swapaxes(mel[:, :t_total], 1, 2)
+        wav = vocoder.apply(voc_vars, mel)
+        return wav, jnp.mean(jnp.abs(wav))
+
+    fast_args = (qvars, voc_vars, cond, text, duration, lens, noise)
+    t0 = time.perf_counter()
+    wav_f, checksum = synthesize_fast(*fast_args)
+    float(checksum)
+    print(f"# fast-lever compile+first-run: {time.perf_counter() - t0:.1f}s",
+          file=sys.stderr)
+    fast_times = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        wav_f, checksum = synthesize_fast(*fast_args)
+        float(checksum)
+        fast_times.append(time.perf_counter() - t0)
+    rtf_fast = min(fast_times) / audio_seconds
+    print(
+        f"# fast levers (w8a8 + cfg-interval): wall={min(fast_times):.3f}s "
+        f"rtf={rtf_fast:.4f} runs={[round(t, 3) for t in fast_times]}",
+        file=sys.stderr,
+    )
+    assert bool(np.isfinite(np.asarray(wav_f)).all()), "non-finite fast output"
+    synthesize_fast.clear_cache()
+    return rtf, {"rtf_fast_levers": round(rtf_fast, 5)}
 
 
 def bench_serving(jax, jnp) -> dict:

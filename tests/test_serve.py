@@ -364,3 +364,32 @@ def test_prewarm_lattice_covers_live_traffic():
         "live request compiled a shape prewarm missed: "
         f"{sorted(map(str, model._sample_cache))}"
     )
+
+
+def test_prewarm_lattice_covers_live_traffic_under_mesh():
+    """Mesh serving (row_multiple > 1): prewarm pads rows to the data
+    axis, so the per-bucket lattice collapses to one combo and a later
+    live request of ANY row count ≤ max_batch reuses a warmed executable
+    (regression for the --warmup-full + set_mesh composition)."""
+    import jax
+
+    devices = np.asarray(jax.devices()[:8]).reshape(4, 2)
+    mesh = jax.sharding.Mesh(devices, ("data", "model"))
+    model = F5TTS.from_config(F5Config.from_dict(TINY_CFG))
+    model.init_params(0)
+    model.set_mesh(mesh)
+    assert model._row_multiple == 4
+    warmed = serve.prewarm_lattice(
+        model, max_batch=4, chunk_chars=(10, 20), n_steps=2,
+    )
+    assert warmed == 2  # rows 1..4 all pad to 4 → one combo per bucket
+    n_keys = len(model._sample_cache)
+    # 1, 3, and 4 live rows (and a mixed-length 2-bucket split) must all
+    # land on the prewarmed 4-row avals
+    model.synthesize_batch(["а" * 11], n_steps=2)
+    model.synthesize_batch(["а" * 12, "а" * 13, "а" * 21], n_steps=2)
+    model.synthesize_batch(["а" * 22] * 4, n_steps=2)
+    assert len(model._sample_cache) == n_keys, (
+        "live mesh request compiled a shape prewarm missed: "
+        f"{sorted(map(str, model._sample_cache))}"
+    )
