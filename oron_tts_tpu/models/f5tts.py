@@ -564,6 +564,39 @@ class F5TTS:
         )
         return concat_with_pause(waveforms, self.sample_rate, pause_s)
 
+    def synthesize_mel(
+        self,
+        text: str,
+        lang: str = "mn",
+        ref_audio_path: str | Path | None = None,
+        ref_text: str | None = None,
+        n_steps: int = 32,
+        cfg_strength: float = 2.0,
+        sway_sampling_coef: float | None = -1.0,
+        speed: float = 1.0,
+        target_duration_s: float | None = None,
+        seed: int | None = None,
+        cfg_interval: tuple[float, float] | None = None,
+        method: str = "euler",
+    ) -> np.ndarray:
+        """Generated log-mel [n_mels, T] for a single-segment text.
+
+        Identical to :meth:`synthesize` minus chunk splitting and vocoding
+        (the text is solved as one segment). Primary consumer: the tone-code
+        alignment eval (oron_tts_tpu/evals/alignment.py), which scores the
+        CFM's text→mel alignment in the model's own output domain instead of
+        confounding it with vocoder error.
+        """
+        lang, chunks, _ = self._prepare_synthesis(
+            text, lang, ref_text, n_steps, cfg_strength, speed,
+            target_duration_s, max_chars_per_chunk=None, pause_s=0.0,
+        )
+        return self._synthesize_segment(
+            chunks[0], lang, ref_audio_path, ref_text, n_steps,
+            cfg_strength, sway_sampling_coef, speed, target_duration_s,
+            seed, cfg_interval=cfg_interval, method=method, return_mel=True,
+        )
+
     def synthesize_stream(
         self,
         text: str,
@@ -971,6 +1004,7 @@ class F5TTS:
         seed: int | None,
         cfg_interval: tuple[float, float] | None = None,
         method: str = "euler",
+        return_mel: bool = False,
     ) -> np.ndarray:
         target_ids = self.text_cleaner.text_to_sequence(text, lang=lang)
         ref_mel, ref_len, ref_ids = self._load_ref(ref_audio_path, ref_text, lang)
@@ -1005,6 +1039,8 @@ class F5TTS:
             np.asarray([t_total]), np.asarray([ref_len]), key,
         )
         gen = jnp.swapaxes(mel_out[:, ref_len:t_total, :], 1, 2)  # [1, M, T]
+        if return_mel:
+            return np.asarray(gen[0], dtype=np.float32)
         return self._decode_mel(gen).astype(np.float32)
 
     def _synthesize_chunks(
