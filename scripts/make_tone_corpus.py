@@ -59,9 +59,18 @@ def build_corpus(n_sentences: int, seed: int = 0,
     """
     rng = np.random.default_rng(seed)
     texts: list[str] = []
-    # alphabet coverage floor: "аб вг дё ..." style pair-words
-    pairs = [LETTERS[i:i + 2] for i in range(0, len(LETTERS) - 1, 2)]
-    cover = [" ".join(pairs[i:i + 3]) for i in range(0, len(pairs), 3)]
+    # alphabet coverage floor: "аб вг дё ..." style pair-words; groups are
+    # padded with wrap-around pairs so every cover sentence clears the same
+    # >=9-char duration floor as the sampled ones
+    pairs = [LETTERS[i:i + 2] for i in range(0, len(LETTERS), 2)]
+    cover = []
+    for i in range(0, len(pairs), 4):
+        group = pairs[i:i + 4]
+        j = 0
+        while len(" ".join(group)) < 9:
+            group.append(pairs[j % len(pairs)])
+            j += 1
+        cover.append(" ".join(group))
     texts.extend(cover[: min(len(cover), n_sentences)])
     while len(texts) < n_sentences:
         texts.append(sample_sentence(rng, **kw))

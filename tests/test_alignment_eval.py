@@ -106,3 +106,23 @@ def test_synthesize_mel_shape_and_untrained_cer():
     assert mel.ndim == 2 and mel.shape[0] == 100 and mel.shape[1] > 0
     cer = char_error_rate(ref, decode_logmel(mel))
     assert cer > 0.5  # random-weights output must not accidentally "pass"
+
+
+def test_build_corpus_contract():
+    """Corpus generator: deterministic in seed, every clip >= the dataset's
+    1.0s filter, all 35 letters covered, decode roundtrip lossless."""
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "scripts"))
+    from make_tone_corpus import build_corpus
+
+    texts, wavs = build_corpus(40, seed=7)
+    texts2, _ = build_corpus(40, seed=7)
+    assert texts == texts2
+    assert len(texts) == len(wavs) == 40
+    sr = 24000
+    assert all(len(w) / sr >= 1.0 for w in wavs)
+    assert set("".join(texts)) - {" "} == set(LETTERS)
+    for t, w in zip(texts[:3], wavs[:3]):
+        assert decode_waveform(w) == expected_letters(t)
