@@ -19,6 +19,7 @@ from __future__ import annotations
 
 import logging
 import math
+import os
 import sys
 import time
 from pathlib import Path
@@ -563,6 +564,8 @@ class F5Trainer:
                     self.state, batch, rng, state_format=self._state_format,
                 )
             except Exception as exc:
+                if os.environ.get("ORON_AOT_STRICT"):
+                    raise
                 self.logger.warning(
                     "AOT train-step compile failed (%s); using plain jit", exc
                 )

@@ -62,16 +62,32 @@ def parse_args() -> argparse.Namespace:
 
 
 def score(model, texts: list[str], n_steps: int, cfg_strength: float,
-          seed: int) -> tuple[float, list[float]]:
-    """Mean holdout CER: synthesize each text ref-free, invert, compare."""
-    from oron_tts_tpu.evals.alignment import (
-        char_error_rate, decode_logmel, expected_letters,
-    )
+          seed: int, exact_duration: bool = True) -> tuple[float, list[float]]:
+    """Mean holdout CER: synthesize each text ref-free, invert, compare.
 
+    exact_duration=True passes the corpus' true canvas length
+    (13 frames x cleaned chars INCLUDING spaces) so the generated mel sits
+    at the training distribution's duration; False uses the facade's
+    ref-free heuristic (13 x non-space chars — ~15% shorter on this
+    corpus because spaces render silence but don't count), which scores
+    alignment robustness to an out-of-distribution canvas too.
+    """
+    from oron_tts_tpu.evals.alignment import (
+        FRAMES_PER_CHAR, HOP, SR, char_error_rate, decode_logmel,
+        expected_letters,
+    )
+    from oron_tts_tpu.text.cleaner import TextCleaner
+
+    cleaner = TextCleaner()
     cers = []
     for i, text in enumerate(texts):
+        dur_s = None
+        if exact_duration:
+            n_chars = len(cleaner.clean(text, "mn"))
+            dur_s = n_chars * FRAMES_PER_CHAR * HOP / SR
         mel = model.synthesize_mel(
             text, n_steps=n_steps, cfg_strength=cfg_strength, seed=seed + i,
+            target_duration_s=dur_s,
         )
         cers.append(char_error_rate(expected_letters(text),
                                     decode_logmel(np.asarray(mel))))
@@ -157,8 +173,12 @@ def main() -> None:
         model.variables = {"params": params}
         cer, per_clip = score(model, hold_texts, args.n_steps,
                               args.cfg_strength, args.seed)
-        results[name] = {"cer": round(cer, 4), "per_clip": per_clip}
-        print(f"holdout CER ({name}): {cer:.4f}")
+        cer_rf, _ = score(model, hold_texts, args.n_steps,
+                          args.cfg_strength, args.seed, exact_duration=False)
+        results[name] = {"cer": round(cer, 4), "per_clip": per_clip,
+                         "cer_reffree_duration": round(cer_rf, 4)}
+        print(f"holdout CER ({name}): {cer:.4f} "
+              f"(ref-free duration heuristic: {cer_rf:.4f})")
 
     payload = {
         "protocol": "tone-code alignment (oron_tts_tpu/evals/alignment.py)",
