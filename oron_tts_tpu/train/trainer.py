@@ -17,6 +17,7 @@ the reference. bf16 compute needs no GradScaler.
 
 from __future__ import annotations
 
+import contextlib
 import logging
 import math
 import os
@@ -165,6 +166,67 @@ def make_train_step(cfm: Any, tx: optax.GradientTransformation, ema_decay: float
     return jax.jit(_train_step_fn(cfm, tx, ema_decay), donate_argnums=(0,), **kw)
 
 
+def _persistent_cache_api():
+    """The private JAX compilation-cache API the AOT path depends on.
+
+    Returns the module when every required attribute is present, else
+    ``None``. Centralised so a JAX upgrade that moves/renames the private
+    surface is detected in ONE place (and pinned by
+    tests/test_aot_cache_bypass.py) instead of silently changing behavior.
+    """
+    try:
+        from jax._src import compilation_cache as _cc
+    except Exception:
+        return None
+    if not callable(getattr(_cc, "reset_cache", None)):
+        return None
+    if not hasattr(jax.config, "jax_enable_compilation_cache"):
+        return None
+    return _cc
+
+
+@contextlib.contextmanager
+def persistent_cache_disabled():
+    """Disable the persistent compilation cache for the enclosed compiles.
+
+    Needed because a deserialized AUTO-layout donated executable loses the
+    output→input aliasing contract — its first call succeeds but the
+    aliased feedback call (step outputs fed back as donated inputs) dies
+    with a device-side INVALID_ARGUMENT (measured on v5e; docs/KERNELS.md
+    "persistent-cache bypass"). Fresh compiles never exhibit this.
+
+    Raises ``RuntimeError`` if the private JAX API this requires
+    (``jax._src.compilation_cache.reset_cache``) is gone — callers must
+    treat that as "AOT unavailable" and fall back to plain jit rather
+    than compile through the cache and risk the device-side crash.
+
+    NOT thread-safe: flips the process-global
+    ``jax_enable_compilation_cache`` flag, so any compile issued
+    concurrently from another thread while inside this context would also
+    skip the cache (benign) — but do not rely on cached compiles landing
+    during the window.
+    """
+    _cc = _persistent_cache_api()
+    if _cc is None:
+        raise RuntimeError(
+            "jax._src.compilation_cache.reset_cache is unavailable in this "
+            "JAX version — cannot safely bypass the persistent cache for "
+            "the AUTO-layout donated compile (a cached hit would crash at "
+            "the aliased feedback call). Falling back to plain jit."
+        )
+    cache_was = bool(jax.config.jax_enable_compilation_cache)
+    jax.config.update("jax_enable_compilation_cache", False)
+    # is_cache_used() memoizes its decision once per process, so the flag
+    # flip alone is ignored after any earlier compile — reset_cache()
+    # drops the memo so the flag is actually re-read
+    _cc.reset_cache()
+    try:
+        yield
+    finally:
+        jax.config.update("jax_enable_compilation_cache", cache_was)
+        _cc.reset_cache()  # re-enable for subsequent compiles
+
+
 def compile_train_step_auto(
     cfm: Any, tx: optax.GradientTransformation, ema_decay: float,
     state: TrainState, batch: dict[str, Any], rng: jax.Array,
@@ -187,40 +249,31 @@ def compile_train_step_auto(
 
     auto = Format(Layout.AUTO)
     in_fmts = (state_format if state_format is not None else auto, auto, auto)
+    # Follow-up compiles (new bucket shape, state_format given) must pin
+    # the CONCRETE state format on the OUTPUT side too, not AUTO: jax
+    # normalizes an explicit input layout that equals the default to None
+    # internally, and a donated None-layout input paired with an AUTO
+    # output fails mlir's donation check ("Input layout being donated was
+    # None while output layout was AUTO", jax 0.9, measured on v5e at the
+    # eval corpus' second batch bucket). Matching in/out formats also IS
+    # the invariant state_format exists for: every executable shares one
+    # state layout, so interleaved buckets never relayout the state.
+    out_fmts = (auto if state_format is None else state_format, auto)
     # TPU requires abstract avals with Layout.AUTO (concrete arrays carry
     # a committed layout and are rejected)
     abstract = jax.tree_util.tree_map(
         lambda x: jax.ShapeDtypeStruct(jnp.shape(x), jnp.result_type(x)),
         (state, batch, rng),
     )
-    # bypass the persistent compilation cache for THIS compile: a
-    # deserialized AUTO-layout donated executable loses the output→input
-    # aliasing contract — its first call succeeds but the aliased feedback
-    # call (step outputs fed back as donated inputs) dies with a
-    # device-side INVALID_ARGUMENT (measured on v5e through the tunnel,
-    # both fresh-process cache hits). Fresh compiles never exhibit this.
-    cache_was = bool(jax.config.jax_enable_compilation_cache)
-    jax.config.update("jax_enable_compilation_cache", False)
-    try:
-        # is_cache_used() memoizes its decision once per process, so the
-        # flag flip alone is ignored after any earlier compile —
-        # reset_cache() drops the memo so the flag is actually re-read
-        from jax._src import compilation_cache as _cc
-        _cc.reset_cache()
-    except Exception:
-        pass
-    try:
+    # bypass the persistent compilation cache for THIS compile (see
+    # persistent_cache_disabled for why a cached hit would crash); raises
+    # if the private API is gone, which _get_train_step turns into a loud
+    # plain-jit fallback
+    with persistent_cache_disabled():
         compiled = jax.jit(
             _train_step_fn(cfm, tx, ema_decay), donate_argnums=(0,),
-            in_shardings=in_fmts, out_shardings=Format(Layout.AUTO),
+            in_shardings=in_fmts, out_shardings=out_fmts,
         ).lower(*abstract).compile()
-    finally:
-        jax.config.update("jax_enable_compilation_cache", cache_was)
-        try:
-            from jax._src import compilation_cache as _cc
-            _cc.reset_cache()  # re-enable for subsequent compiles
-        except Exception:
-            pass
     state_fmt, batch_fmt, rng_fmt = compiled.input_formats[0]
     # NOTE: must stay jax.device_put (per-leaf relayout) — compiling one
     # jitted identity with out_shardings=state_fmt looks cheaper (41 tiny
@@ -570,6 +623,15 @@ class F5Trainer:
                     "AOT train-step compile failed (%s); using plain jit", exc
                 )
                 self.use_aot = False
+                if self._state_format is not None:
+                    # a previous AOT compile re-laid the state into XLA-
+                    # chosen layouts; feeding that into the default-layout
+                    # plain-jit executable dies device-side
+                    # (INVALID_ARGUMENT, measured on v5e). Round-trip
+                    # through the host to restore default layouts — slow,
+                    # but this path runs at most once per process.
+                    self.state = jax.device_put(jax.device_get(self.state))
+                    self._state_format = None
                 return self._train_step
             self._aot_steps[key] = step
         return step
@@ -769,9 +831,16 @@ class F5Trainer:
         params = self.state.ema_params if use_ema else self.state.params
         total, n = 0.0, 0
         if self.val_loader is not None:
-            for batch in self.val_loader:
-                loss = float(self._eval_step(params, self._shard(batch)))
-                total += loss
+            # dispatch every val batch without reading results, then fetch
+            # all losses in ONE host sync — same pipelining discipline as
+            # the train loop's _drain_pending (one round-trip per epoch,
+            # not per batch; matters on a pod where each sync is a DCN RTT)
+            pending = [
+                self._eval_step(params, self._shard(batch))
+                for batch in self.val_loader
+            ]
+            for loss in jax.device_get(pending):
+                total += float(loss)
                 n += 1
         if jax.process_count() > 1:
             # cross-host agreement so ``is_best`` (and thus f5tts_best.npz)

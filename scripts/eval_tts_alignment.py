@@ -58,7 +58,10 @@ def parse_args() -> argparse.Namespace:
     ap.add_argument("--device", type=str, default=None,
                     help="pin JAX platform (cpu/tpu/axon); default: leave as-is")
     ap.add_argument("--out", type=Path, default=REPO_ROOT / "ALIGNMENT.json")
-    return ap.parse_args()
+    args = ap.parse_args()
+    if args.epochs < 1:
+        ap.error("--epochs must be >= 1 (the payload reports final train loss)")
+    return args
 
 
 def score(model, texts: list[str], n_steps: int, cfg_strength: float,

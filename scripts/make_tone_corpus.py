@@ -54,8 +54,9 @@ def build_corpus(n_sentences: int, seed: int = 0,
                  **kw) -> tuple[list[str], list[np.ndarray]]:
     """(texts, wavs) — deterministic in (n_sentences, seed).
 
-    The first 18 sentences cycle the full alphabet in letter pairs so every
-    tone bin appears in training even for small corpora.
+    The first ~5 sentences (18 letter pairs grouped 4 per sentence) cover
+    the full alphabet so every tone bin appears in training; full coverage
+    therefore needs n_sentences >= len(cover) (= 5 for the 35-letter set).
     """
     rng = np.random.default_rng(seed)
     texts: list[str] = []
@@ -94,7 +95,8 @@ def main() -> None:
     for i, (text, wav) in enumerate(zip(texts, wavs)):
         rel = f"wav/{i:05d}.wav"
         write_wav(args.out / rel, wav, SR)
-        meta.append({"audio": rel, "text": text, "lang": "mn",
+        meta.append({"audio_path": str((args.out / rel).resolve()),
+                     "text": text, "lang": "mn",
                      "duration": len(wav) / SR})
     (args.out / "metadata.json").write_text(
         json.dumps(meta, ensure_ascii=False, indent=1)
