@@ -100,6 +100,39 @@ def concat_with_pause(
     return np.concatenate(parts)
 
 
+def _looks_like_hub_id(spec: str) -> bool:
+    """True for "org/name"-shaped specs that are not filesystem paths.
+
+    Lets ``load_vocoder("charactr/vocos-mel-24khz")`` work like the
+    reference's runtime hub fetch (reference f5tts.py:190-202) while
+    never misreading a real (even missing) local path: hub ids have
+    exactly one slash and no path-ish prefixes or suffixes.
+    """
+    if spec.startswith((".", "/", "~")) or spec.count("/") != 1:
+        return False
+    return not spec.endswith((".npz", ".pt", ".bin", ".safetensors", ".ckpt"))
+
+
+def _fetch_vocos_from_hub(repo_id: str) -> Path | None:
+    """Download official Vocos torch weights from the HF hub.
+
+    Returns the local weight path, or None (with a warning) when the hub
+    is unreachable — callers fall through to the Griffin-Lim warning path.
+    The converter + mag/phase head these weights ride is parity-proven at
+    the official dims in tests/test_vocos_official_parity.py.
+    """
+    try:
+        from huggingface_hub import hf_hub_download
+    except Exception:
+        _logger.warning("huggingface_hub not installed; cannot fetch %r", repo_id)
+        return None
+    for fname in ("pytorch_model.bin", "model.safetensors"):
+        try:
+            return Path(hf_hub_download(repo_id=repo_id, filename=fname))
+        except Exception as exc:
+            last = exc
+    _logger.warning("Could not fetch vocoder %r from the HF hub: %s", repo_id, last)
+    return None
 
 
 
@@ -377,6 +410,12 @@ class F5TTS:
             )
             if bundled.exists():
                 checkpoint_path = bundled
+        if (checkpoint_path is not None and not Path(checkpoint_path).exists()
+                and _looks_like_hub_id(str(checkpoint_path))):
+            # HF hub id (e.g. "charactr/vocos-mel-24khz", the reference's
+            # runtime vocoder, /root/reference/src/models/f5tts.py:190-202):
+            # fetch the torch weights and ride the converter path below
+            checkpoint_path = _fetch_vocos_from_hub(str(checkpoint_path))
         if checkpoint_path is None or not Path(checkpoint_path).exists():
             _logger.warning(
                 "No trained vocoder checkpoint found (bundled default "
@@ -418,11 +457,20 @@ class F5TTS:
             from oron_tts_tpu.utils.torch_compat import load_torch_checkpoint
 
             sd = load_torch_checkpoint(str(path))
-            params = convert_vocos_state_dict(sd)
+            # architecture from the tensors themselves, so non-official
+            # sizes (distilled/retrained Vocos) load without a config
+            n_layers = 1 + max(
+                int(k.split(".")[2]) for k in sd
+                if k.startswith("backbone.convnext.")
+            )
+            params = convert_vocos_state_dict(sd, n_layers=n_layers)
             head_mode = "mag_phase"
             layer_scale = any(k.endswith(".gamma") for k in sd)
         module = VocosDecoder(
             n_mels=self.n_mels,
+            dim=int(sd["backbone.embed.weight"].shape[0]),
+            n_layers=n_layers,
+            intermediate_dim=int(sd["backbone.convnext.0.pwconv1.weight"].shape[0]),
             n_fft=self.config.audio.n_fft,
             hop_length=self.hop_length,
             sample_rate=self.sample_rate,

@@ -281,9 +281,30 @@ def compile_train_step_auto(
     # output layouts for some small conv-kernel shapes and the executable
     # then rejects the state with a layout mismatch. The per-leaf compiles
     # are persistent-cached instead (utils/cache.py write threshold 0.1 s)
-    state = jax.device_put(state, state_fmt)
+    if state_format is None:
+        state = jax.device_put(state, state_fmt)
+    # else: the state came out of an executable whose output format IS
+    # state_format (we pinned it on the out side above), so it is already
+    # laid out correctly — and a redundant device_put here would issue a
+    # relayout on a possibly IN-FLIGHT donated output (the trainer
+    # compiles new bucket shapes mid-epoch without draining the pipeline),
+    # which corrupts the device stream on v5e (INVALID_ARGUMENT at the
+    # next sync; measured, see tests/test_aot_cache_bypass.py)
 
     def step(state: TrainState, batch: dict[str, Any], rng: jax.Array):
+        if os.environ.get("ORON_AOT_DEBUG"):
+            for (kp, leaf), (_, f) in zip(
+                jax.tree_util.tree_leaves_with_path(batch),
+                jax.tree_util.tree_leaves_with_path(batch_fmt),
+            ):
+                try:
+                    jax.device_put(leaf, f)
+                except Exception as exc:
+                    print(f"AOT-DEBUG device_put failed leaf="
+                          f"{jax.tree_util.keystr(kp)} shape={getattr(leaf, 'shape', None)} "
+                          f"dtype={getattr(leaf, 'dtype', None)} fmt={f!r}: {exc}",
+                          flush=True)
+                    raise
         return compiled(
             state,
             jax.device_put(batch, batch_fmt),

@@ -26,6 +26,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 import time
 from pathlib import Path
@@ -152,11 +153,15 @@ def main() -> None:
     print(f"model: dim={args.dim} depth={args.depth} params={n_params/1e6:.1f}M "
           f"backend={jax.default_backend()}")
 
-    untrained_cer, _ = score(
-        model, hold_texts[: min(4, len(hold_texts))],
-        args.n_steps, args.cfg_strength, args.seed,
-    )
-    print(f"untrained baseline CER (4 clips): {untrained_cer:.3f}")
+    if os.environ.get("ORON_ALIGN_SKIP_BASELINE"):
+        untrained_cer = float("nan")
+        print("skipping untrained baseline (ORON_ALIGN_SKIP_BASELINE)")
+    else:
+        untrained_cer, _ = score(
+            model, hold_texts[: min(4, len(hold_texts))],
+            args.n_steps, args.cfg_strength, args.seed,
+        )
+        print(f"untrained baseline CER (4 clips): {untrained_cer:.3f}")
 
     trainer = F5Trainer(
         config=cfg, model=model, train_loader=loader,

@@ -128,9 +128,18 @@ def test_aot_second_shape_with_state_format_chain():
     b_a, b_b = mkbatch(2, 64), mkbatch(3, 96)
     step_a, state, fmt = compile_train_step_auto(
         model.cfm, tx, 0.99, state, b_a, jax.random.PRNGKey(0))
+    # dispatch one A step and leave it in flight: follow-up compiles
+    # must NOT device_put the pending donated output (a redundant
+    # relayout on an in-flight aliased buffer corrupts the v5e stream)
+    state, m0 = step_a(state, b_a, jax.random.PRNGKey(7))
+    state_before = state
     step_b, state, _ = compile_train_step_auto(
         model.cfm, tx, 0.99, state, b_b, jax.random.PRNGKey(0),
         state_format=fmt)
+    assert state is state_before, (
+        "compile with state_format must return the state untouched "
+        "(it is already in that layout; relayout mid-flight crashes TPU)")
+    assert bool(m0["ok"])
     # interleave buckets: the shared state layout must flow A->B->A
     for i, (st, b) in enumerate([(step_a, b_a), (step_b, b_b)] * 2):
         state, metrics = st(state, b, jax.random.fold_in(jax.random.PRNGKey(1), i))

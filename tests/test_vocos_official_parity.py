@@ -12,6 +12,8 @@ linear transpose, gamma passthrough) and the mag/phase + same-trim ISTFT
 numerics — the exact path real pretrained weights would ride.
 """
 
+from pathlib import Path
+
 import numpy as np
 import pytest
 
@@ -147,3 +149,70 @@ def test_official_vocos_weight_port(n_layers, dim, inter):
     assert max_err < 1e-4 * max(scale, 1.0), (
         f"waveform mismatch: max abs err {max_err:.3e} (signal peak {scale:.3e})"
     )
+
+
+def test_golden_fixture_roundtrip():
+    """Committed golden: official-layout state_dict + mel + torch waveform
+    (scripts/make_vocos_golden.py). Pins the converter and the mag/phase
+    ISTFT numerics against drift in torch, jax, OR the converter itself —
+    the assertion target never moves."""
+    import jax.numpy as jnp
+
+    fixture = (Path(__file__).parent / "fixtures" / "vocos_golden.npz")
+    data = np.load(fixture)
+    n_layers, dim, inter, n_mels, n_fft, hop = (int(x) for x in data["__meta__"])
+    sd = {k[3:]: torch.from_numpy(data[k]) for k in data.files
+          if k.startswith("sd:")}
+    params = convert_vocos_state_dict(sd, n_layers=n_layers)
+    decoder = VocosDecoder(
+        n_mels=n_mels, dim=dim, n_layers=n_layers, intermediate_dim=inter,
+        n_fft=n_fft, hop_length=hop, head_mode="mag_phase", layer_scale=True,
+    )
+    wav = np.asarray(decoder.apply({"params": params}, jnp.asarray(data["__mel__"])))
+    ref = data["__wav__"]
+    assert wav.shape == ref.shape
+    scale = max(np.abs(ref).max(), 1.0)
+    assert np.abs(wav - ref).max() < 1e-4 * scale
+
+
+def test_hub_id_routing_and_torch_load(tmp_path, monkeypatch):
+    """load_vocoder("org/name") routes through the hub fetch and the torch
+    converter path, inferring architecture dims from the tensors. Uses the
+    committed golden state_dict saved as a .pt so the full
+    hub-id → download → convert → decode chain is exercised offline."""
+    import oron_tts_tpu.models.f5tts as f5tts_mod
+    from oron_tts_tpu.config import F5Config
+    from oron_tts_tpu.models.f5tts import F5TTS, _looks_like_hub_id
+
+    assert _looks_like_hub_id("charactr/vocos-mel-24khz")
+    assert not _looks_like_hub_id("/abs/path")
+    assert not _looks_like_hub_id("./rel/path")
+    assert not _looks_like_hub_id("plainname")
+    assert not _looks_like_hub_id("dir/weights.npz")
+    assert not _looks_like_hub_id("a/b/c")
+
+    data = np.load(Path(__file__).parent / "fixtures" / "vocos_golden.npz")
+    sd = {k[3:]: torch.from_numpy(data[k]) for k in data.files
+          if k.startswith("sd:")}
+    ckpt = tmp_path / "pytorch_model.bin"
+    torch.save(sd, ckpt)
+
+    seen = []
+    monkeypatch.setattr(
+        f5tts_mod, "_fetch_vocos_from_hub",
+        lambda repo_id: seen.append(repo_id) or ckpt,
+    )
+    cfg = {"sample_rate": 24000, "n_mels": 100,
+           "model": {"vocab_size": 65, "dim": 32, "depth": 1, "heads": 2,
+                     "ff_mult": 2, "text_dim": 16, "conv_layers": 1,
+                     "p_dropout": 0.0}}
+    model = F5TTS.from_config(F5Config.from_dict(cfg))
+    model.load_vocoder("charactr/vocos-mel-24khz")
+    assert seen == ["charactr/vocos-mel-24khz"]
+    module, variables = model._vocoder
+    assert module.n_layers == 2 and module.dim == 64
+    import jax.numpy as jnp
+
+    wav = np.asarray(module.apply(variables, jnp.asarray(data["__mel__"])))
+    ref = data["__wav__"]
+    assert np.abs(wav - ref).max() < 1e-4 * max(np.abs(ref).max(), 1.0)
