@@ -40,6 +40,22 @@ _model = None
 _model_lock = threading.Lock()
 _batcher = None
 _meta = {}
+# optional bearer-token auth (--auth-token / ORON_SERVE_TOKEN): when set,
+# every synthesis endpoint requires "Authorization: Bearer <token>";
+# /healthz stays open for load-balancer probes
+_auth_token: str | None = None
+# per-request ceiling on waiting for device work (--request-timeout).
+# A solve already running on the chip cannot be interrupted — the timeout
+# bounds how long a request WAITS (batcher queue / model lock), so a
+# wedged device turns into fast 503/504s instead of unbounded pileup
+_request_timeout_s: float = 120.0
+# SIGTERM drain flag: /healthz flips to 503 "draining" so orchestrators
+# stop routing here while in-flight requests finish
+_draining = False
+
+
+class RequestTimeout(Exception):
+    """Waiting for device work exceeded --request-timeout."""
 # rolling per-request wall-time window over ALL synthesis endpoints + a
 # monotonic served-request counter; /healthz reports p50/p95 + totals so a
 # deploy can watch serving health without external instrumentation.
@@ -102,7 +118,13 @@ class MicroBatcher:
         with self._cv:
             self._queues.setdefault(_freeze(params), []).append(req)
             self._cv.notify()
-        req.done.wait()
+        if not req.done.wait(timeout=_request_timeout_s):
+            # the solve may still land later and set result — harmlessly
+            # discarded; the client gets a bounded 504 instead of hanging
+            raise RequestTimeout(
+                f"request timed out after {_request_timeout_s:.0f}s in the "
+                "synthesis queue"
+            )
         if req.error is not None:
             raise req.error
         return req.result
@@ -175,6 +197,23 @@ def _freeze(d: dict) -> tuple:
 
 
 @contextmanager
+def _model_lock_bounded():
+    """Model lock with the per-request wait ceiling (504 on timeout).
+
+    Used on request paths only; the micro-batcher's dispatcher keeps the
+    unbounded lock (it IS the thing requests wait for)."""
+    if not _model_lock.acquire(timeout=_request_timeout_s):
+        raise RequestTimeout(
+            f"request timed out after {_request_timeout_s:.0f}s waiting "
+            "for the device"
+        )
+    try:
+        yield
+    finally:
+        _model_lock.release()
+
+
+@contextmanager
 def _ref_audio(req: dict):
     """Voice-cloning reference from a request, as synthesize() kwargs.
 
@@ -222,6 +261,27 @@ class Handler(BaseHTTPRequestHandler):
         self.end_headers()
         self.wfile.write(body)
 
+    def _authorized(self) -> bool:
+        """Bearer-token gate for synthesis endpoints (no-op when unset)."""
+        if _auth_token is None:
+            return True
+        import hmac
+
+        header = self.headers.get("Authorization", "")
+        supplied = header.removeprefix("Bearer ").strip()
+        if header.startswith("Bearer ") and hmac.compare_digest(
+            supplied, _auth_token
+        ):
+            return True
+        self.send_response(401)
+        self.send_header("WWW-Authenticate", "Bearer")
+        body = b'{"error": "missing or invalid bearer token"}'
+        self.send_header("Content-Type", "application/json")
+        self.send_header("Content-Length", str(len(body)))
+        self.end_headers()
+        self.wfile.write(body)
+        return False
+
     def do_GET(self):
         if self.path == "/healthz":
             merged = _batcher.merged_batches if _batcher else 0
@@ -236,8 +296,10 @@ class Handler(BaseHTTPRequestHandler):
                         lat[min(len(lat) - 1, int(len(lat) * 0.95))] * 1e3, 1
                     ),
                 })
-            self._json(200, {"status": "ok", "merged_batches": merged,
-                             **stats, **_meta})
+            status = "draining" if _draining else "ok"
+            self._json(503 if _draining else 200,
+                       {"status": status, "merged_batches": merged,
+                        **stats, **_meta})
         else:
             self._json(404, {"error": "not found"})
 
@@ -247,6 +309,10 @@ class Handler(BaseHTTPRequestHandler):
     MAX_BATCH_TEXTS = 256
 
     def do_POST(self):
+        if not self._authorized():
+            # body undrained → keep-alive would desync on reuse
+            self.close_connection = True
+            return
         try:
             try:
                 length = int(self.headers.get("Content-Length", 0))
@@ -343,7 +409,7 @@ class Handler(BaseHTTPRequestHandler):
                                      f"{self.MAX_BATCH_TEXTS} per request)",
                         })
                         return
-                    with _model_lock:
+                    with _model_lock_bounded():
                         wavs = _model.synthesize_batch(
                             texts, seed=seed, **common
                         )
@@ -358,6 +424,8 @@ class Handler(BaseHTTPRequestHandler):
                     _record_latency(t0)
                 else:
                     self._json(404, {"error": "not found"})
+        except RequestTimeout as exc:
+            self._json(504, {"error": str(exc)})
         except ValueError as exc:
             self._json(400, {"error": str(exc)})
         except Exception as exc:  # noqa: BLE001 — keep the server alive
@@ -378,7 +446,7 @@ class Handler(BaseHTTPRequestHandler):
                 return _batcher.submit(
                     text, 0 if seed is None else int(seed), common,
                 )
-            with _model_lock:
+            with _model_lock_bounded():
                 return _model.synthesize(text=text, seed=seed, **common)
         finally:
             _record_latency(t0)
@@ -392,7 +460,7 @@ class Handler(BaseHTTPRequestHandler):
         # otherwise a second status line would be injected into an open
         # chunked response and the terminator never written.
         gen = _model.synthesize_stream(text=text, seed=seed, **common)
-        with _model_lock:
+        with _model_lock_bounded():
             first = next(gen)
 
         self.send_response(200)
@@ -517,6 +585,15 @@ def main() -> None:
                         help="Multi-chip serving mesh as DPxTP (e.g. 2x4): "
                              "batch rows shard over DP, attention/FFN "
                              "projections over TP")
+    parser.add_argument("--auth-token", type=str, default=None,
+                        help="Require 'Authorization: Bearer <token>' on "
+                             "synthesis endpoints (/healthz stays open). "
+                             "Also settable via ORON_SERVE_TOKEN.")
+    parser.add_argument("--request-timeout", type=float, default=120.0,
+                        help="Max seconds a request waits for device work "
+                             "(batcher queue / model lock) before 504/503; "
+                             "a solve already on the chip is never "
+                             "interrupted")
     args = parser.parse_args()
 
     if args.device:
@@ -567,9 +644,57 @@ def main() -> None:
             _model.synthesize("а" * 120, n_steps=32)
         print("[serve] warmup done")
 
-    server = ThreadingHTTPServer((args.host, args.port), Handler)
+    global _auth_token, _request_timeout_s
+    import os
+
+    _auth_token = args.auth_token or os.environ.get("ORON_SERVE_TOKEN")
+    if _auth_token:
+        print("[serve] bearer-token auth enabled")
+    _request_timeout_s = args.request_timeout
+
+    server = DrainingHTTPServer((args.host, args.port), Handler)
+    install_drain_handlers(server)
     print(f"[serve] listening on http://{args.host}:{args.port}")
     server.serve_forever()
+    # SIGTERM path: serve_forever returned after shutdown(); server_close
+    # joins the non-daemon handler threads, so every accepted request
+    # finishes its response before the process exits
+    server.server_close()
+    print("[serve] drained, exiting")
+
+
+class DrainingHTTPServer(ThreadingHTTPServer):
+    """ThreadingHTTPServer that can drain instead of dropping requests.
+
+    ``daemon_threads = False`` + ``block_on_close = True`` make
+    ``server_close()`` join in-flight handler threads — combined with the
+    SIGTERM handler below, a terminating deploy finishes every accepted
+    request (the micro-batcher's queued submits are synchronous waits
+    inside those handler threads, so the batcher drains with them).
+    """
+
+    daemon_threads = False
+    block_on_close = True
+
+
+def install_drain_handlers(server) -> None:
+    """SIGTERM/SIGINT → flip /healthz to 503 "draining", stop accepting,
+    let main() join the in-flight handlers. Safe to call only from the
+    main thread (signal module requirement)."""
+    import signal
+
+    def _on_term(signum, frame):  # noqa: ARG001 — signal signature
+        global _draining
+        if _draining:
+            return  # second signal: already draining
+        _draining = True
+        print("[serve] SIGTERM: draining in-flight requests...")
+        # shutdown() blocks until serve_forever exits — run it off the
+        # signal frame so the handler returns immediately
+        threading.Thread(target=server.shutdown, daemon=True).start()
+
+    signal.signal(signal.SIGTERM, _on_term)
+    signal.signal(signal.SIGINT, _on_term)
 
 
 if __name__ == "__main__":

@@ -129,7 +129,12 @@ def main() -> None:
     loader = DataLoader(
         ds,
         DynamicBatchSampler(durations, args.frames_budget, sample_rate=sr),
-        TTSCollator(),
+        # row padding to a multiple of 8 collapses the sampler's
+        # every-batch-unique (B, T) shapes into ~9 jit combos instead of
+        # 16 — on the TPU tunnel each combo is a 60-100 s AOT compile, so
+        # this halves the first-epoch wall time (padded rows have
+        # mel_lengths 0 and drop out of the masked loss)
+        TTSCollator(pad_batch_to_multiple=8),
         num_workers=0,
     )
 

@@ -54,7 +54,26 @@ def snr_db(clean: np.ndarray, test: np.ndarray) -> float:
     )
 
 
+def mel_l1(clean: np.ndarray, test: np.ndarray) -> float:
+    """Mean abs log-mel difference vs clean — the metric the TTS pipeline
+    actually consumes (denoised audio becomes training mels)."""
+    from oron_tts_tpu.ops.mel import MelConfig, log_mel_numpy
+
+    cfg = MelConfig(sample_rate=SR)
+    n = min(len(clean), len(test))
+    return float(np.mean(np.abs(
+        log_mel_numpy(test[:n], cfg) - log_mel_numpy(clean[:n], cfg)
+    )))
+
+
 def main() -> None:
+    import argparse
+    import json
+
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--out", type=Path, default=REPO_ROOT / "DENOISER.json")
+    args = ap.parse_args()
+
     clean = speech_like()
     rng = np.random.default_rng(1)
     white = rng.standard_normal(len(clean)).astype(np.float32)
@@ -73,22 +92,48 @@ def main() -> None:
         print("# df (DeepFilterNet) not installed — spectral only",
               file=sys.stderr)
 
-    print("| noise | input SNR (dB) | " +
-          " | ".join(f"{b} output SNR (dB)" for b in backends) + " |")
-    print("|---|---|" + "---|" * len(backends))
+    rows = []
+    print("| noise | input SNR (dB) | input mel-L1 | " +
+          " | ".join(f"{b} SNR (dB) / mel-L1" for b in backends) + " |")
+    print("|---|---|---|" + "---|" * len(backends))
     for noise_name, noise in (("white", white), ("pink", pink)):
         for target_snr in (0.0, 5.0, 10.0, 20.0):
             sig_pow = np.mean(clean**2)
             noise_pow = np.mean(noise**2)
             scale = np.sqrt(sig_pow / noise_pow / 10 ** (target_snr / 10))
             noisy = clean + scale * noise
+            inp_snr, inp_mel = float(snr_db(clean, noisy)), mel_l1(clean, noisy)
+            row = {"noise": noise_name, "input_snr_db": round(inp_snr, 2),
+                   "input_mel_l1": round(inp_mel, 4), "backends": {}}
             cols = []
             for backend in backends:
                 den = AudioDenoiser(backend=backend)
                 out = den.denoise(noisy.copy(), SR)
-                cols.append(f"{snr_db(clean, out):.1f}")
-            inp = snr_db(clean, noisy)
-            print(f"| {noise_name} | {inp:.1f} | " + " | ".join(cols) + " |")
+                o_snr, o_mel = float(snr_db(clean, out)), mel_l1(clean, out)
+                row["backends"][backend] = {
+                    "output_snr_db": round(o_snr, 2),
+                    "output_mel_l1": round(o_mel, 4),
+                }
+                cols.append(f"{o_snr:.1f} / {o_mel:.3f}")
+            rows.append(row)
+            print(f"| {noise_name} | {inp_snr:.1f} | {inp_mel:.3f} | "
+                  + " | ".join(cols) + " |")
+
+    payload = {
+        "protocol": "synthetic speech-like harmonic signal + calibrated "
+                    "stationary noise (scripts/measure_denoiser.py)",
+        "sample_rate": SR,
+        "backends_measured": backends,
+        "df_installed": "df" in backends,
+        "note": ("spectral gating only attenuates STATIONARY noise; "
+                 "DeepFilterNet (reference denoiser.py:22-54) also handles "
+                 "non-stationary interference and restores speech detail — "
+                 "expect it to win on real recordings. Same 48 kHz "
+                 "resample-in/out contract either way."),
+        "rows": rows,
+    }
+    args.out.write_text(json.dumps(payload, indent=1))
+    print(f"# wrote {args.out}", file=sys.stderr)
 
 
 if __name__ == "__main__":

@@ -393,3 +393,134 @@ def test_prewarm_lattice_covers_live_traffic_under_mesh():
         "live mesh request compiled a shape prewarm missed: "
         f"{sorted(map(str, model._sample_cache))}"
     )
+
+
+def _post_auth(port, path, payload, token=None):
+    headers = {}
+    if token is not None:
+        headers["Authorization"] = f"Bearer {token}"
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{port}{path}",
+        data=json.dumps(payload).encode(),
+        headers=headers, method="POST",
+    )
+    try:
+        with urllib.request.urlopen(req, timeout=300) as resp:
+            return resp.status, resp.read()
+    except urllib.error.HTTPError as exc:
+        return exc.code, exc.read()
+
+
+def test_bearer_auth_gate(server_port):
+    serve._auth_token = "s3cret"
+    try:
+        code, body = _post_auth(server_port, "/synthesize", {"text": "сайн"})
+        assert code == 401
+        assert b"bearer" in body.lower()
+        code, _ = _post_auth(server_port, "/synthesize", {"text": "сайн"},
+                             token="wrong")
+        assert code == 401
+        code, body = _post_auth(server_port, "/synthesize",
+                                {"text": "сайн", "steps": 2}, token="s3cret")
+        assert code == 200 and len(body) > 44
+        # healthz stays open for LB probes
+        with urllib.request.urlopen(
+            f"http://127.0.0.1:{server_port}/healthz", timeout=30
+        ) as resp:
+            assert resp.status == 200
+    finally:
+        serve._auth_token = None
+
+
+def test_request_timeout_batcher_504(server_port):
+    """A request stuck behind a wedged device gets a bounded 504, not a
+    hang: hold the model lock so the batcher can't dispatch."""
+    old = serve._request_timeout_s
+    serve._request_timeout_s = 0.5
+    try:
+        with serve._model_lock:  # wedge the device path
+            code, body = _post(server_port, "/synthesize",
+                               {"text": "сайн", "steps": 2})[0::2]
+            assert code == 504
+            assert b"timed out" in body
+    finally:
+        serve._request_timeout_s = old
+
+
+def test_request_timeout_direct_lock_504(server_port):
+    """The non-batcher paths (synthesize_batch endpoint) bound their lock
+    wait the same way."""
+    old = serve._request_timeout_s
+    serve._request_timeout_s = 0.5
+    try:
+        with serve._model_lock:
+            code, body = _post(server_port, "/synthesize_batch",
+                               {"texts": ["сайн"], "steps": 2})[0::2]
+            assert code == 504
+            assert b"timed out" in body
+    finally:
+        serve._request_timeout_s = old
+
+
+def test_healthz_reports_draining(server_port):
+    serve._draining = True
+    try:
+        try:
+            with urllib.request.urlopen(
+                f"http://127.0.0.1:{server_port}/healthz", timeout=30
+            ) as resp:
+                code, body = resp.status, resp.read()
+        except urllib.error.HTTPError as exc:
+            code, body = exc.code, exc.read()
+        assert code == 503
+        assert json.loads(body)["status"] == "draining"
+    finally:
+        serve._draining = False
+
+
+def test_sigterm_drain_finishes_inflight_request():
+    """DrainingHTTPServer + shutdown(): an accepted request completes its
+    response even though the server stops accepting (deploy teardown)."""
+    import time as _time
+
+    model = serve._model
+
+    class SlowModel:
+        sample_rate = model.sample_rate
+
+        def synthesize(self, text, seed=None, **kw):
+            _time.sleep(0.8)
+            return model.synthesize(text, seed=seed, **kw)
+
+        def num_params(self):
+            return model.num_params()
+
+    saved_batcher = serve._batcher
+    serve._batcher = None  # direct path so SlowModel.synthesize is used
+    saved_model = serve._model
+    serve._model = SlowModel()
+    httpd = serve.DrainingHTTPServer(("127.0.0.1", 0), serve.Handler)
+    thread = threading.Thread(target=httpd.serve_forever)
+    thread.start()
+    port = httpd.server_address[1]
+    try:
+        result = {}
+
+        def client():
+            result["resp"] = _post(port, "/synthesize",
+                                   {"text": "сайн", "steps": 2})
+
+        c = threading.Thread(target=client)
+        c.start()
+        _time.sleep(0.3)  # request accepted, solve in flight
+        shut = threading.Thread(target=httpd.shutdown)
+        shut.start()
+        httpd.server_close()  # joins the in-flight handler thread
+        shut.join(timeout=30)
+        c.join(timeout=30)
+        code, ctype, body = result["resp"]
+        assert code == 200 and ctype == "audio/wav" and len(body) > 44
+    finally:
+        serve._model = saved_model
+        serve._batcher = saved_batcher
+        thread.join(timeout=30)
