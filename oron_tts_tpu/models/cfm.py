@@ -199,6 +199,13 @@ class CFM:
             drop_audio_cond=drop_audio,
             drop_text=drop_text,
             deterministic=not train,
+            # dropout stays on threefry DELIBERATELY: it costs ~32 ms of
+            # Base forward wall time (roofline r4, fwd 244 vs 212 ms with
+            # dropout off), but re-keying onto the hardware rbg generator
+            # was measured to OOM the no-remat step at compile (17.3 vs
+            # 15.75 GB HBM): XLA rematerializes threefry bits in the
+            # backward instead of saving the 22-layer mask residuals,
+            # while rbg bits are treated as non-rematerializable.
             rngs={"dropout": k_dropout} if train else {},
         )
 

@@ -18,6 +18,7 @@ from __future__ import annotations
 
 import functools
 import math
+import os
 
 import jax
 import jax.numpy as jnp
@@ -555,10 +556,14 @@ def _flash_lanes_bwd_call(q, k, v, kv_lens, out, dout, heads, interpret=False):
     n_lane_tiles = max(HD // _LANE_TILE, 1)
     tile = min(_LANE_TILE, HD)
     # 4 f32 [block_q, T] tiles live per head iteration — the heads run
-    # sequentially, so the live set matches the classic bwd kernel and the
-    # budget must too (a 4x smaller block measured 2805 vs 2087 ms/step:
-    # tiny [32, T] matmuls starve the MXU)
-    block_q = _lanes_block_q(T, 1536 * 1024)
+    # sequentially. Default budget 6144 KB → block_q=512 at T=2048, the
+    # r4 sweep optimum on v5e (22-layer fwd+bwd: 1536 KB/bq128 309 ms,
+    # 3072/256 261, 6144/512 257, 12288/1024 267, 24576/2048 274 —
+    # docs/KERNELS.md; tiny [32, T] blocks measured 2805 vs 2087 ms/step
+    # in r3: small matmuls starve the MXU). Sweep again on new hardware
+    # via ORON_LANES_BWD_BUDGET_KB + scripts/roofline_train.py --phase attn.
+    budget_kb = int(os.environ.get("ORON_LANES_BWD_BUDGET_KB", 6144))
+    block_q = _lanes_block_q(T, budget_kb * 1024)
     full = pl.BlockSpec((1, T, tile), lambda b, h: (b, 0, h),
                         memory_space=pltpu.VMEM)
     dq, dk, dv = pl.pallas_call(

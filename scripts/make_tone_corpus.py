@@ -84,11 +84,17 @@ def main() -> None:
     ap.add_argument("--out", type=Path, required=True)
     ap.add_argument("--sentences", type=int, default=512)
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--min-words", type=int, default=3,
+                    help="min words per sentence (13 frames ≈ 0.139 s per "
+                         "char incl. spaces; raise for longer clips)")
+    ap.add_argument("--max-words", type=int, default=5)
     args = ap.parse_args()
 
     from oron_tts_tpu.data.wav import write_wav
 
-    texts, wavs = build_corpus(args.sentences, args.seed)
+    texts, wavs = build_corpus(args.sentences, args.seed,
+                               min_words=args.min_words,
+                               max_words=args.max_words)
     wav_dir = args.out / "wav"
     wav_dir.mkdir(parents=True, exist_ok=True)
     meta = []
