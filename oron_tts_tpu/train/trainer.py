@@ -1007,7 +1007,8 @@ class F5Trainer:
             if self.epoch % save_interval == 0:
                 self.save_checkpoint(is_best=is_best, loss=avg_loss)
                 self._maybe_push_to_hub()
-            elif is_best:
+            elif is_best and self.config.get("save_best_between_intervals",
+                                             True):
                 # a best epoch between intervals must still reach disk —
                 # write f5tts_best.npz only (no step file, no rotation).
                 # is_best is all-reduced, so EVERY host enters this branch

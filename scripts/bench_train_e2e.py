@@ -38,7 +38,7 @@ if str(REPO_ROOT) not in sys.path:
 def parse_args() -> argparse.Namespace:
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--sentences", type=int, default=500)
-    ap.add_argument("--epochs", type=int, default=15)
+    ap.add_argument("--epochs", type=int, default=12)
     ap.add_argument("--data-dir", type=Path, default=Path("/tmp/oron_e2e_corpus"))
     ap.add_argument("--work-dir", type=Path, default=Path("/tmp/oron_e2e_run"))
     ap.add_argument("--smoke", action="store_true",
@@ -55,7 +55,16 @@ def main() -> None:
     from oron_tts_tpu.data.wav import write_wav
 
     n = 24 if args.smoke else args.sentences
-    kw = {} if args.smoke else {"min_words": 8, "max_words": 16}
+    # narrow duration band (~8.9-9.6 s → 832-897 frames, one 1024-frame
+    # bucket; 24 clips ≈ the 24,576-frame budget) so every batch collates
+    # to the SAME (24, 1024) shape ≈ bench.py's B=12 T=2048 frame count —
+    # the no-remat fast path, one AOT compile, apples-to-apples. The
+    # broad-duration variant (8-16 words, mixed buckets) exercised more
+    # shapes but its largest remat batch sat close enough to the HBM
+    # ceiling that epoch-2 allocator order OOMed (see docs/KERNELS.md
+    # "end-to-end epoch throughput").
+    kw = {} if args.smoke else {"min_words": 13, "max_words": 14,
+                                "min_len": 4, "max_len": 4}
     t0 = time.time()
     texts, wavs = build_corpus(n, 0, **kw)
     sr = 24000

@@ -366,6 +366,32 @@ def test_best_checkpoint_written_between_save_intervals(tmp_path):
     assert np.isfinite(trainer2._best_val)
 
 
+def test_best_checkpoint_opt_out(tmp_path):
+    """save_best_between_intervals: false suppresses the off-interval best
+    write (configs/bench_e2e.yaml: the ~6 GB Base device->host fetch every
+    improving epoch would dominate tunnel-side timing runs)."""
+    from oron_tts_tpu.train.trainer import F5Trainer
+
+    ds = _synthetic_dataset(n=3)
+    collator = TTSCollator(pad_to_multiple=64)
+    loader = DataLoader(ds, FixedBatchSampler(len(ds), 3, seed=1), collator,
+                        num_workers=0)
+    val_loader = DataLoader(ds, FixedBatchSampler(len(ds), 3, shuffle=False,
+                                                  drop_last=False),
+                            collator, num_workers=0)
+    model = F5TTS.from_config(F5Config.from_dict(TINY_CFG))
+    cfg = dict(TINY_CFG, save_best_between_intervals=False)
+    trainer = F5Trainer(
+        config=cfg, model=model, train_loader=loader,
+        val_loader=val_loader, log_dir=str(tmp_path / "logs"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    trainer.train(num_epochs=1, save_interval=5)
+    ckpt = tmp_path / "ckpt"
+    assert not (ckpt / "f5tts_best.npz").exists()
+    assert not list(ckpt.glob("f5tts_step_*.npz"))
+
+
 def test_sigterm_preemption_checkpoint(tmp_path):
     """SIGTERM mid-epoch → emergency checkpoint on disk, TrainingPreempted
     raised at the next metrics window, and the checkpoint resumes."""
