@@ -675,6 +675,11 @@ class DrainingHTTPServer(ThreadingHTTPServer):
 
     daemon_threads = False
     block_on_close = True
+    # socketserver's default listen backlog is 5: a burst of concurrent
+    # clients (measured: 32 simultaneous connects in
+    # scripts/bench_serve_load.py) gets connection-reset before accept.
+    # TTS solves queue for seconds, so deep connection queues are normal.
+    request_queue_size = 128
 
 
 def install_drain_handlers(server) -> None:

@@ -31,8 +31,13 @@ REPO_ROOT = Path(__file__).resolve().parent.parent
 if str(REPO_ROOT) not in sys.path:
     sys.path.insert(0, str(REPO_ROOT))
 
-# mixed lengths: short command, sentence, long-form chunk (chars)
-LENGTHS = (18, 60, 118)
+# mixed lengths: short command, sentence, long-form chunk. Measured in
+# NON-SPACE letters because the ref-free duration rule counts cleaned
+# non-space chars — texts are built as N 4-letter words so each class
+# lands in EXACTLY the bucket the prewarm compiled (prewarm texts are
+# space-free strings of the same letter count).
+WORDS = (4, 12, 24)          # -> 16 / 48 / 96 letters
+LENGTHS = tuple(4 * w for w in WORDS)
 
 
 def parse_args() -> argparse.Namespace:
@@ -95,14 +100,9 @@ def main() -> None:
     letters = list("абвгдежзиклмнопрстуфхцчшыэюя")
     reqs = []
     for i in range(args.requests):
-        n = LENGTHS[i % len(LENGTHS)]
-        words, left = [], n
-        while left > 0:
-            w = "".join(rng.choice(letters, size=min(int(rng.integers(3, 8)),
-                                                     max(1, left))))
-            words.append(w)
-            left -= len(w) + 1
-        reqs.append(" ".join(words)[:n])
+        n_words = WORDS[i % len(WORDS)]
+        reqs.append(" ".join(
+            "".join(rng.choice(letters, size=4)) for _ in range(n_words)))
 
     lat: list[float] = []
     lat_by_len: dict[int, list[float]] = {n: [] for n in LENGTHS}
@@ -123,9 +123,16 @@ def main() -> None:
                 f"http://127.0.0.1:{port}/synthesize", data=body,
                 method="POST")
             t = time.perf_counter()
-            with urllib.request.urlopen(r, timeout=600) as resp:
-                assert resp.status == 200
-                resp.read()
+            for attempt in range(3):
+                try:
+                    with urllib.request.urlopen(r, timeout=600) as resp:
+                        assert resp.status == 200
+                        resp.read()
+                    break
+                except (ConnectionResetError, OSError):
+                    if attempt == 2:
+                        raise
+                    time.sleep(0.2 * (attempt + 1))
             dt = time.perf_counter() - t
             with lat_lock:
                 lat.append(dt)
