@@ -92,6 +92,11 @@ def load_model(checkpoint_path: str, use_ema: bool = True,
         model.quantize_for_serving(quantize)
         print(f"DiT attention/FFN projections quantized for serving: "
               f"{quantize} (in-memory only; checkpoint unchanged)")
+        if quantize == "int8":
+            print("WARNING: int8 (w8a16) is a MEMORY lever, not a speed "
+                  "lever — measured +31% solve time at the standard Base "
+                  "serving bucket vs bf16 (docs/KERNELS.md ablation). For "
+                  "speed use --quantize int8_dynamic (w8a8, −18%).")
     return model
 
 

@@ -1054,11 +1054,22 @@ class F5Trainer:
         and Adam mu/nu mirror whichever layout the model uses — so both
         save and resume must convert or flipping ``model.scan_blocks``
         between runs breaks at apply time.
+
+        SAVE direction (scan_blocks=False) fetches device leaves to HOST
+        first: unstacking slices every stacked tensor per block, and on
+        device those slices materialize a full extra copy of the tree
+        (~6 GB at Base for params+moments+EMA) while the training
+        pipeline may be at its HBM peak — measured as an epoch-boundary
+        OOM on v5e when a best-val save landed between remat epochs near
+        the ceiling. On host the same slices are numpy views (free), and
+        the device→host fetch was owed to the checkpoint writer anyway.
         """
         from collections.abc import Mapping
 
         from oron_tts_tpu.models.dit import adapt_block_layout
 
+        if not scan_blocks:
+            tree = jax.device_get(tree)
         depth = self.model.backbone.depth
 
         def rec(node: Any) -> Any:
