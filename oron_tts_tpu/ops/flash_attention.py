@@ -445,8 +445,11 @@ def _flash_lanes_fwd_call(q, k, v, kv_lens, heads, interpret=False):
     tile = min(_LANE_TILE, HD)
     # one f32 score tile live at a time (plus its bf16 p copy); q/k/v lane
     # tiles are ~0.5 MB, so the score tile can take the classic
-    # single-KV-block budget (block_q=1024 at T=2048)
-    block_q = _lanes_block_q(T, 9 * 1024 * 1024)
+    # single-KV-block budget (block_q=1024 at T=2048). r4 sweep at the
+    # train shape found 4608/9216/18432 KB (block_q 512/1024/2048) within
+    # noise of each other — the default stays 9 MB.
+    fwd_kb = int(os.environ.get("ORON_LANES_FWD_BUDGET_KB", 9 * 1024))
+    block_q = _lanes_block_q(T, fwd_kb * 1024)
     out = pl.pallas_call(
         functools.partial(
             _flash_lanes_kernel, d=D, sm_scale=sm_scale, masked=masked
