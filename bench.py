@@ -113,10 +113,69 @@ def _backend_watchdog(timeout_s: float = 300.0):
     return up
 
 
+def _cache_file_count() -> int:
+    """Entries in the persistent XLA cache dir (miss-written proxy)."""
+    import os
+
+    d = None
+    try:
+        import jax
+
+        d = jax.config.jax_compilation_cache_dir
+    except Exception:
+        pass
+    if not d or not Path(d).is_dir():
+        return 0
+    return sum(1 for _ in Path(d).iterdir())
+
+
+def _phase_reset(jax, label: str) -> None:
+    """Free the previous phase's device residue before the next one.
+
+    Drops Python-side jit caches + collects garbage, then reports what is
+    STILL live on the device — the round-4 driver bench OOMed in the train
+    phase because serve-phase residue fragmented HBM (BENCH_r04 rc=1);
+    this makes any such residue visible in the bench log and gives the
+    allocator back every freeable byte first.
+    """
+    import gc
+
+    gc.collect()
+    jax.clear_caches()
+    gc.collect()
+    try:
+        live = jax.live_arrays()
+        total = sum(int(a.size) * a.dtype.itemsize for a in live) / 1e9
+        print(f"# {label}: live device arrays={len(live)} ({total:.2f} GB)",
+              file=sys.stderr)
+    except Exception:
+        pass
+
+
 def main() -> None:
+    import argparse
+    import os
+
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument(
+        "--cold-cache", action="store_true",
+        help="Run against an empty temporary XLA compilation cache instead "
+             "of the persistent one, so setup/warmup timings measure true "
+             "cold compiles (r3 vs r4 driver runs swung 4-14x on cache "
+             "state alone; this mode pins it)")
+    args, _unknown = parser.parse_known_args()
+
     from oron_tts_tpu.utils.cache import enable_compilation_cache
 
-    enable_compilation_cache()
+    if args.cold_cache:
+        import tempfile
+
+        tmp = tempfile.mkdtemp(prefix="oron-bench-cold-xla-")
+        os.environ["JAX_COMPILATION_CACHE_DIR"] = tmp
+        print(f"# cold-cache mode: XLA cache at {tmp}", file=sys.stderr)
+        enable_compilation_cache(tmp)
+    else:
+        enable_compilation_cache()
     import gc
 
     import jax
@@ -124,7 +183,9 @@ def main() -> None:
 
     watchdog_up = _backend_watchdog()
     backend = jax.default_backend()
-    print(f"# backend={backend} devices={jax.devices()}", file=sys.stderr)
+    print(f"# backend={backend} devices={jax.devices()} "
+          f"cache_mode={'cold' if args.cold_cache else 'warm'} "
+          f"cache_entries={_cache_file_count()}", file=sys.stderr)
     watchdog_up.set()
 
     # phases run in their own frames so each one's device buffers (params,
@@ -133,19 +194,32 @@ def main() -> None:
     # pass (an EXTRA Base-scale param cycle) runs LAST: interleaving it
     # before the train phase left enough allocator residue/fragmentation
     # to OOM the eager EMA copy there
-    rtf = bench_synthesis(jax, jnp)
+    phases = {}
+
+    def run_phase(name, fn, *a, **kw):
+        n0, t0 = _cache_file_count(), time.perf_counter()
+        out = fn(*a, **kw)
+        phases[name] = {"wall_s": round(time.perf_counter() - t0, 1),
+                        "cache_writes": _cache_file_count() - n0}
+        return out
+
+    rtf = run_phase("synthesis", bench_synthesis, jax, jnp)
+    _phase_reset(jax, "post-synthesis")
+    serve = run_phase("serving", bench_serving, jax, jnp)
+    _phase_reset(jax, "post-serving")
+    train = run_phase("train", bench_train_step, jax, jnp)
+    _phase_reset(jax, "post-train")
+    fast = run_phase("fast_levers", bench_synthesis, jax, jnp,
+                     fast_levers=True)
     gc.collect()
-    serve = bench_serving(jax, jnp)
-    gc.collect()
-    train = bench_train_step(jax, jnp)
-    gc.collect()
-    fast = bench_synthesis(jax, jnp, fast_levers=True)
+    print(f"# phase summary: {json.dumps(phases)}", file=sys.stderr)
 
     print(json.dumps({
         "metric": "synthesis_rtf_base_32nfe",
         "value": round(rtf, 5),
         "unit": "rtf",
         "vs_baseline": round(TARGET_RTF / rtf, 3),
+        "cache_mode": "cold" if args.cold_cache else "warm",
         **fast,
         **serve,
         **train,
@@ -415,7 +489,32 @@ def bench_train_step(jax, jnp) -> dict:
     Env knobs for ablations (docs/KERNELS.md "Base train step"):
     ORON_TRAIN_B / ORON_TRAIN_T (bucket), ORON_TRAIN_REMAT (1/0),
     ORON_TRAIN_IMPL (lanes/flash/einsum), ORON_TRAIN_MU (bf16/f32).
+
+    Defensive on HBM pressure (BENCH_r04 rc=1: the no-remat step OOMed at
+    the AOT state relayout after the serve phase): if the fused no-remat
+    configuration cannot allocate, the phase retries ONCE with per-block
+    remat (smaller live set, ~10% slower) and reports which ran via
+    ``train_remat``.
     """
+    import os
+
+    remat = os.environ.get("ORON_TRAIN_REMAT", "0") != "0"
+    try:
+        return _bench_train_once(jax, jnp, remat)
+    except Exception as exc:  # noqa: BLE001 — only OOM is retried
+        if "RESOURCE_EXHAUSTED" not in str(exc) or remat:
+            raise
+        print("# train phase OOMed without remat; retrying with per-block "
+              "remat", file=sys.stderr)
+    # retry OUTSIDE the except block: the exception's traceback pins the
+    # failed attempt's frames (and through them its ~7 GB device state)
+    # until the handler exits — resetting/reallocating inside it would
+    # fight the very buffers being retried around
+    _phase_reset(jax, "train-oom-retry")
+    return _bench_train_once(jax, jnp, remat=True)
+
+
+def _bench_train_once(jax, jnp, remat: bool) -> dict:
     import os
 
     import numpy as np
@@ -435,7 +534,6 @@ def bench_train_step(jax, jnp) -> dict:
     # attention + bf16 Adam mu (utils/memory.py; docs/KERNELS.md table)
     B = int(os.environ.get("ORON_TRAIN_B", 12))
     T = int(os.environ.get("ORON_TRAIN_T", 2048))
-    remat = os.environ.get("ORON_TRAIN_REMAT", "0") != "0"
     impl = os.environ.get("ORON_TRAIN_IMPL", "lanes")
     mu_bf16 = os.environ.get("ORON_TRAIN_MU", "bf16") == "bf16"
     print(f"# train config: B={B} T={T} remat={remat} impl={impl} "
@@ -536,6 +634,7 @@ def bench_train_step(jax, jnp) -> dict:
         "train_audio_s_per_s": round(audio_s_per_s, 1),
         "train_mfu": round(mfu, 4),
         "train_vs_ref": round(audio_s_per_s / ref_audio_s_per_s, 1),
+        "train_remat": remat,
     }
 
 

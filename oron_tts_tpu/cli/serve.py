@@ -52,10 +52,26 @@ _request_timeout_s: float = 120.0
 # SIGTERM drain flag: /healthz flips to 503 "draining" so orchestrators
 # stop routing here while in-flight requests finish
 _draining = False
+# --profile fast: server-side sampler defaults applied when a request
+# does not set the parameter itself (a request override always wins)
+_profile_defaults: dict = {}
 
 
 class RequestTimeout(Exception):
     """Waiting for device work exceeded --request-timeout."""
+
+
+class Overloaded(Exception):
+    """Admission control: the queue's projected wait exceeds the request
+    timeout, so the request is shed NOW (429 + Retry-After) instead of
+    queueing toward a certain 504 that still burns a device solve.
+
+    ``retry_after_s`` is the projected time for the backlog ahead of this
+    request to clear."""
+
+    def __init__(self, msg: str, retry_after_s: float) -> None:
+        super().__init__(msg)
+        self.retry_after_s = retry_after_s
 # rolling per-request wall-time window over ALL synthesis endpoints + a
 # monotonic served-request counter; /healthz reports p50/p95 + totals so a
 # deploy can watch serving health without external instrumentation.
@@ -82,7 +98,8 @@ def _wav_bytes(wav, sample_rate: int) -> bytes:
 
 
 class _Request:
-    __slots__ = ("text", "seed", "done", "result", "error")
+    __slots__ = ("text", "seed", "done", "result", "error", "abandoned",
+                 "taken")
 
     def __init__(self, text: str, seed: int) -> None:
         self.text = text
@@ -90,6 +107,14 @@ class _Request:
         self.done = threading.Event()
         self.result = None
         self.error = None
+        # set when the submitting handler already 504ed: the dispatcher
+        # drops abandoned entries instead of burning a device solve on
+        # audio nobody will receive (round-4 advisor)
+        self.abandoned = False
+        # set (under the batcher's _cv) when the dispatcher pops the
+        # request; disambiguates who owns the _queued decrement when a
+        # timeout races the dispatcher
+        self.taken = False
 
 
 class MicroBatcher:
@@ -103,24 +128,63 @@ class MicroBatcher:
     """
 
     def __init__(self, model, max_batch: int = 16,
-                 window_s: float = 0.003) -> None:
+                 window_s: float = 0.003, max_queue: int = 64) -> None:
         self._model = model
         self._max_batch = max_batch
         self._window_s = window_s
+        self._max_queue = max_queue
         self._cv = threading.Condition()
         self._queues: dict[tuple, list[_Request]] = {}
+        self._queued = 0  # requests currently waiting (incl. abandoned)
+        # EWMA of one batched solve's wall time, seeded at a warm Base
+        # 120-char solve (~0.7 s); it converges to the live mix within a
+        # few batches and drives the projected-wait admission estimate
+        self._solve_ewma_s = 0.7
         self.merged_batches = 0  # telemetry: batches serving >1 request
+        self.shed_requests = 0   # telemetry: admissions refused (429)
         self._thread = threading.Thread(target=self._loop, daemon=True)
         self._thread.start()
+
+    def projected_wait_s(self, queued: int | None = None) -> float:
+        """Projected QUEUE WAIT for a request behind ``queued`` others:
+        the number of max_batch-sized solves ahead of it times the EWMA
+        solve time. Deliberately excludes the request's OWN solve —
+        --request-timeout bounds waiting, not device work, so an idle
+        server always admits even when one solve exceeds the timeout."""
+        if queued is None:
+            with self._cv:
+                queued = self._queued
+        solves_ahead = (queued + self._max_batch - 1) // self._max_batch
+        return solves_ahead * self._solve_ewma_s
 
     def submit(self, text: str, seed: int, params: dict) -> "object":
         req = _Request(text, seed)
         with self._cv:
+            # admission control: refuse early when the backlog's projected
+            # wait already exceeds the request timeout (the request would
+            # 504 anyway) or the queue is at its hard cap — 429 +
+            # Retry-After beats queueing toward a certain timeout
+            projected = self.projected_wait_s(self._queued)
+            if self._queued >= self._max_queue or \
+                    projected > _request_timeout_s:
+                self.shed_requests += 1
+                raise Overloaded(
+                    f"server overloaded: {self._queued} requests queued, "
+                    f"projected wait {projected:.1f}s exceeds the "
+                    f"{_request_timeout_s:.0f}s request timeout",
+                    retry_after_s=projected,
+                )
             self._queues.setdefault(_freeze(params), []).append(req)
+            self._queued += 1
             self._cv.notify()
         if not req.done.wait(timeout=_request_timeout_s):
-            # the solve may still land later and set result — harmlessly
-            # discarded; the client gets a bounded 504 instead of hanging
+            # the client gets a bounded 504; flagging the entry lets the
+            # dispatcher drop it instead of solving for a gone client.
+            # It also stops counting toward the admission backlog
+            with self._cv:
+                req.abandoned = True
+                if not req.taken:
+                    self._queued -= 1
             raise RequestTimeout(
                 f"request timed out after {_request_timeout_s:.0f}s in the "
                 "synthesis queue"
@@ -146,6 +210,11 @@ class MicroBatcher:
             del self._queues[key]
             if rest:
                 self._queues[key] = rest
+            for r in batch:
+                r.taken = True
+            # abandoned entries already left the backlog count when their
+            # submit timed out (they no longer represent future wait)
+            self._queued -= sum(1 for r in batch if not r.abandoned)
             if batch:
                 return key, batch
         return None, None
@@ -162,14 +231,24 @@ class MicroBatcher:
                 key, batch = self._take_batch()
             if not batch:
                 continue
+            # drop entries whose handler already sent its 504: solving
+            # them would burn device time on audio nobody receives, and
+            # under sustained overload that feedback loop keeps the
+            # server saturated forever (round-4 advisor)
+            batch = [r for r in batch if not r.abandoned]
+            if not batch:
+                continue
             params = dict(key)
             try:
+                t_solve = time.perf_counter()
                 with _model_lock:
                     wavs = self._model.synthesize_batch(
                         [r.text for r in batch],
                         seeds=[r.seed for r in batch],
                         **params,
                     )
+                dt = time.perf_counter() - t_solve
+                self._solve_ewma_s += 0.3 * (dt - self._solve_ewma_s)
                 if len(batch) > 1:
                     self.merged_batches += 1
                 for r, w in zip(batch, wavs):
@@ -252,6 +331,12 @@ def _ref_audio(req: dict):
 
 class Handler(BaseHTTPRequestHandler):
     protocol_version = "HTTP/1.1"
+    # socket timeout: an idle keep-alive connection (a load balancer
+    # holding persistent sockets) reaps itself after this long —
+    # handle_one_request treats the timeout as close_connection, so a
+    # SIGTERM drain's server_close() can join every handler thread
+    # instead of hanging forever on rfile.readline() (round-4 advisor)
+    timeout = 30
 
     def _json(self, code: int, obj) -> None:
         body = json.dumps(obj).encode()
@@ -289,6 +374,11 @@ class Handler(BaseHTTPRequestHandler):
                 total = _requests_total
                 lat = sorted(_latencies_s)
             stats = {"requests": total}
+            if _batcher is not None:
+                stats["shed_requests"] = _batcher.shed_requests
+                stats["projected_wait_s"] = round(
+                    _batcher.projected_wait_s(), 2
+                )
             if lat:
                 stats.update({
                     "latency_p50_ms": round(lat[len(lat) // 2] * 1e3, 1),
@@ -342,14 +432,16 @@ class Handler(BaseHTTPRequestHandler):
             sway = req.get("sway_sampling_coef", -1.0)
             # guidance interval: [lo, hi] list → hashable tuple (it is
             # part of the micro-batcher's parameter key)
-            ci = req.get("cfg_interval")
+            ci = req.get("cfg_interval", _profile_defaults.get("cfg_interval"))
             if ci is not None:
                 if not isinstance(ci, (list, tuple)) or len(ci) != 2:
                     raise ValueError("cfg_interval must be [lo, hi]")
                 ci = (float(ci[0]), float(ci[1]))
                 if not 0.0 <= ci[0] <= ci[1]:
                     raise ValueError("cfg_interval needs 0 <= lo <= hi")
-            ode_method = str(req.get("method", "euler"))
+            ode_method = str(
+                req.get("method", _profile_defaults.get("method", "euler"))
+            )
             if ode_method not in ("euler", "midpoint"):
                 raise ValueError("method must be 'euler' or 'midpoint'")
             common = dict(
@@ -424,6 +516,16 @@ class Handler(BaseHTTPRequestHandler):
                     _record_latency(t0)
                 else:
                     self._json(404, {"error": "not found"})
+        except Overloaded as exc:
+            # shed load early with a machine-readable backoff hint
+            body = json.dumps({"error": str(exc)}).encode()
+            self.send_response(429)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Retry-After",
+                             str(max(1, int(exc.retry_after_s + 0.5))))
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
         except RequestTimeout as exc:
             self._json(504, {"error": str(exc)})
         except ValueError as exc:
@@ -501,7 +603,7 @@ class Handler(BaseHTTPRequestHandler):
 
 def prewarm_lattice(model, max_batch: int = 16,
                     chunk_chars: Sequence[int] = (38, 76, 120),
-                    n_steps: int = 32) -> int:
+                    n_steps: int = 32, **solver_kwargs) -> int:
     """Compile every (padded-rows, T-bucket) executable live traffic can
     reach for the given chunk lengths, by driving the REAL serving path.
 
@@ -533,7 +635,8 @@ def prewarm_lattice(model, max_batch: int = 16,
                 continue
             seen.add(padded)
             t0 = time.perf_counter()
-            model.synthesize_batch(["а" * c] * rows, n_steps=n_steps, seed=0)
+            model.synthesize_batch(["а" * c] * rows, n_steps=n_steps, seed=0,
+                                   **solver_kwargs)
             warmed += 1
             print(f"[serve] prewarm rows={padded} bucket={bucket}: "
                   f"{time.perf_counter() - t0:.1f}s")
@@ -568,6 +671,20 @@ def main() -> None:
                              "(each /synthesize runs alone)")
     parser.add_argument("--max-batch", type=int, default=16,
                         help="Micro-batcher cap on merged requests per solve")
+    parser.add_argument("--max-queue", type=int, default=64,
+                        help="Admission-control cap on queued /synthesize "
+                             "requests; beyond it (or when the projected "
+                             "wait exceeds --request-timeout) new requests "
+                             "get 429 + Retry-After instead of queueing "
+                             "toward a certain 504")
+    parser.add_argument("--profile", type=str, default=None,
+                        choices=["fast"],
+                        help="'fast' composes the measured-best opt-in "
+                             "levers as server defaults: int8_dynamic w8a8 "
+                             "weights, guidance interval [0.10, 0.70] and "
+                             "the midpoint solver (each individually "
+                             "parity-tested; ablation in docs/KERNELS.md). "
+                             "Per-request parameters still override.")
     parser.add_argument("--no-scan-blocks", action="store_true",
                         help="Use the unrolled DiT block loop instead of "
                              "lax.scan (identical numerics; scan compiles "
@@ -607,6 +724,16 @@ def main() -> None:
 
     from oron_tts_tpu.cli import validate_quantize_mesh
 
+    if args.profile == "fast":
+        # profile defaults compose with explicit flags; an explicit
+        # --quantize always wins over the profile's int8_dynamic
+        if args.quantize is None:
+            args.quantize = "int8_dynamic"
+        _profile_defaults["cfg_interval"] = (0.10, 0.70)
+        _profile_defaults["method"] = "midpoint"
+        _meta["profile"] = "fast"
+        print("[serve] profile=fast: int8_dynamic + cfg_interval(0.10,0.70)"
+              " + midpoint defaults")
     validate_quantize_mesh(parser, args.quantize, args.mesh)
     _model = load_model(args.checkpoint, use_ema=not args.no_ema,
                         scan_blocks=not args.no_scan_blocks,
@@ -625,10 +752,12 @@ def main() -> None:
         print(f"[serve] mesh: {dict(mesh.shape)}")
     _meta["params"] = _model.num_params()
     if not args.no_batching:
-        _batcher = MicroBatcher(_model, max_batch=args.max_batch)
+        _batcher = MicroBatcher(_model, max_batch=args.max_batch,
+                                max_queue=args.max_queue)
     if args.warmup_full is not None:
         chars = [int(c) for c in args.warmup_full.split(",") if c.strip()]
-        prewarm_lattice(_model, max_batch=args.max_batch, chunk_chars=chars)
+        prewarm_lattice(_model, max_batch=args.max_batch, chunk_chars=chars,
+                        **_profile_defaults)
     elif args.warmup:
         # warm the EXACT path real requests take. With batching enabled,
         # /synthesize rides the micro-batcher → synthesize_batch →
@@ -639,9 +768,10 @@ def main() -> None:
         # chunk bucket (the sampler cache keys on both).
         print("[serve] warmup synthesis (compiles the default request shape)...")
         if _batcher is not None:
-            _model.synthesize_batch(["а" * 120], n_steps=32, seed=0)
+            _model.synthesize_batch(["а" * 120], n_steps=32, seed=0,
+                                    **_profile_defaults)
         else:
-            _model.synthesize("а" * 120, n_steps=32)
+            _model.synthesize("а" * 120, n_steps=32, **_profile_defaults)
         print("[serve] warmup done")
 
     global _auth_token, _request_timeout_s
@@ -691,7 +821,14 @@ def install_drain_handlers(server) -> None:
     def _on_term(signum, frame):  # noqa: ARG001 — signal signature
         global _draining
         if _draining:
-            return  # second signal: already draining
+            # second signal = the operator gave up on a graceful drain
+            # (e.g. a handler thread wedged past the socket timeout):
+            # force-exit instead of swallowing the signal forever
+            # (round-4 advisor)
+            import os
+
+            print("[serve] second SIGTERM: force exit")
+            os._exit(1)
         _draining = True
         print("[serve] SIGTERM: draining in-flight requests...")
         # shutdown() blocks until serve_forever exits — run it off the

@@ -126,7 +126,11 @@ def _fetch_vocos_from_hub(repo_id: str) -> Path | None:
     except Exception:
         _logger.warning("huggingface_hub not installed; cannot fetch %r", repo_id)
         return None
-    for fname in ("pytorch_model.bin", "model.safetensors"):
+    # safetensors first: it is a pure-tensor format, while a .bin is a
+    # pickle — an arbitrary-code-execution surface for network-fetched
+    # weights (round-4 advisor). The .bin fallback is additionally loaded
+    # with weights_only=True (see load_vocoder below).
+    for fname in ("model.safetensors", "pytorch_model.bin"):
         try:
             return Path(hf_hub_download(repo_id=repo_id, filename=fname))
         except Exception as exc:
@@ -410,12 +414,14 @@ class F5TTS:
             )
             if bundled.exists():
                 checkpoint_path = bundled
+        from_hub = False
         if (checkpoint_path is not None and not Path(checkpoint_path).exists()
                 and _looks_like_hub_id(str(checkpoint_path))):
             # HF hub id (e.g. "charactr/vocos-mel-24khz", the reference's
             # runtime vocoder, /root/reference/src/models/f5tts.py:190-202):
             # fetch the torch weights and ride the converter path below
             checkpoint_path = _fetch_vocos_from_hub(str(checkpoint_path))
+            from_hub = checkpoint_path is not None
         if checkpoint_path is None or not Path(checkpoint_path).exists():
             _logger.warning(
                 "No trained vocoder checkpoint found (bundled default "
@@ -456,7 +462,9 @@ class F5TTS:
         else:
             from oron_tts_tpu.utils.torch_compat import load_torch_checkpoint
 
-            sd = load_torch_checkpoint(str(path))
+            # hub-fetched .bin files are untrusted pickles: weights_only
+            # refuses anything but tensors (round-4 advisor)
+            sd = load_torch_checkpoint(str(path), weights_only=from_hub)
             # architecture from the tensors themselves, so non-official
             # sizes (distilled/retrained Vocos) load without a config
             n_layers = 1 + max(

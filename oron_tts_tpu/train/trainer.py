@@ -227,6 +227,51 @@ def persistent_cache_disabled():
         _cc.reset_cache()  # re-enable for subsequent compiles
 
 
+def _relayout_state(state: Any, state_fmt: Any) -> Any:
+    """Relayout a TrainState into the AOT-chosen formats at ~1× HBM.
+
+    ``jax.device_put(state, state_fmt)`` holds the full source tree alive
+    until every leaf is relaid out, so at Base scale the relayout
+    transiently needs TWO ~7 GB state copies — which OOMed the round-4
+    driver bench when serve-phase allocator residue still fragmented HBM
+    (BENCH_r04 rc=1 at the old trainer.py:285). Here each source leaf is
+    deleted as soon as its relaid copy is dispatched (PJRT holds a usage
+    reference on the source until the in-flight copy completes, so the
+    delete is safe even on backends whose block_until_ready is lazy),
+    capping peak overhead at roughly one leaf. A leaf whose device copy
+    still hits RESOURCE_EXHAUSTED falls back to a host round-trip for
+    that leaf only (fetch → free device source → put with the format).
+
+    CONSUMES the input state: on return (or on a non-OOM error mid-way)
+    the caller's original device buffers are gone — donation semantics,
+    matching how every caller immediately rebinds the returned state.
+    """
+    leaves, treedef = jax.tree_util.tree_flatten(state)
+    fmts = treedef.flatten_up_to(state_fmt)
+    # a buffer aliased at several leaves must not be deleted while later
+    # leaves still need it — count first, only delete sole references
+    counts: dict[int, int] = {}
+    for leaf in leaves:
+        counts[id(leaf)] = counts.get(id(leaf), 0) + 1
+    out = []
+    for leaf, fmt in zip(leaves, fmts):
+        try:
+            new = jax.device_put(leaf, fmt)
+        except Exception as exc:  # noqa: BLE001 — re-raised unless OOM
+            if "RESOURCE_EXHAUSTED" not in str(exc):
+                raise
+            host = jax.device_get(leaf)
+            if counts[id(leaf)] == 1 and hasattr(leaf, "delete"):
+                leaf.delete()
+            new = jax.device_put(host, fmt)
+        else:
+            if new is not leaf and counts[id(leaf)] == 1 and \
+                    hasattr(leaf, "delete"):
+                leaf.delete()
+        out.append(new)
+    return jax.tree_util.tree_unflatten(treedef, out)
+
+
 def compile_train_step_auto(
     cfm: Any, tx: optax.GradientTransformation, ema_decay: float,
     state: TrainState, batch: dict[str, Any], rng: jax.Array,
@@ -282,7 +327,7 @@ def compile_train_step_auto(
     # then rejects the state with a layout mismatch. The per-leaf compiles
     # are persistent-cached instead (utils/cache.py write threshold 0.1 s)
     if state_format is None:
-        state = jax.device_put(state, state_fmt)
+        state = _relayout_state(state, state_fmt)
     # else: the state came out of an executable whose output format IS
     # state_format (we pinned it on the out side above), so it is already
     # laid out correctly — and a redundant device_put here would issue a
@@ -852,14 +897,25 @@ class F5Trainer:
         params = self.state.ema_params if use_ema else self.state.params
         total, n = 0.0, 0
         if self.val_loader is not None:
-            # dispatch every val batch without reading results, then fetch
-            # all losses in ONE host sync — same pipelining discipline as
-            # the train loop's _drain_pending (one round-trip per epoch,
-            # not per batch; matters on a pod where each sync is a DCN RTT)
-            pending = [
-                self._eval_step(params, self._shard(batch))
-                for batch in self.val_loader
-            ]
+            # dispatch val batches without reading results, fetching losses
+            # in bounded windows — the same pipelining discipline as the
+            # train loop's _drain_pending. Windowing (not one epoch-wide
+            # sync) bounds how many in-flight batch input buffers HBM holds
+            # at once: at the near-ceiling regime the epoch-boundary OOM
+            # fixes document, an unbounded dispatch of a large val set can
+            # itself OOM (round-4 advisor finding).
+            drain_every = max(1, self.config.get(
+                "metrics_drain_interval",
+                min(self.config.get("log_interval", 100), 16),
+            ))
+            pending: list[Any] = []
+            for batch in self.val_loader:
+                pending.append(self._eval_step(params, self._shard(batch)))
+                if len(pending) >= drain_every:
+                    for loss in jax.device_get(pending):
+                        total += float(loss)
+                        n += 1
+                    pending = []
             for loss in jax.device_get(pending):
                 total += float(loss)
                 n += 1

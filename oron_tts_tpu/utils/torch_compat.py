@@ -168,11 +168,16 @@ def merge_compatible(
     return merged, skipped
 
 
-def load_torch_checkpoint(path: str, prefer_ema: bool = True) -> dict[str, Any]:
+def load_torch_checkpoint(path: str, prefer_ema: bool = True,
+                          weights_only: bool = False) -> dict[str, Any]:
     """Read a reference ``.pt``/``.safetensors`` checkpoint into numpy arrays.
 
     Prefers EMA weights like reference scripts/infer.py:20-24; pass
     ``prefer_ema=False`` for the raw training weights (--no-ema).
+    ``weights_only=True`` restricts the pickle to tensor payloads — use it
+    for any file fetched over the network (a full .pt training checkpoint
+    from a LOCAL trusted run needs the default, its optimizer/scheduler
+    state is not weights-only loadable).
     """
     if str(path).endswith(".safetensors"):
         from safetensors.numpy import load_file
@@ -180,7 +185,7 @@ def load_torch_checkpoint(path: str, prefer_ema: bool = True) -> dict[str, Any]:
         return dict(load_file(path))
     import torch
 
-    ckpt = torch.load(path, map_location="cpu", weights_only=False)
+    ckpt = torch.load(path, map_location="cpu", weights_only=weights_only)
     if isinstance(ckpt, dict):
         keys = ("ema_state_dict", "ema_model_state_dict", "model_state_dict")
         if not prefer_ema:

@@ -222,6 +222,7 @@ def test_take_batch_rotates_busy_keys():
     reqs_a = [serve._Request(f"a{i}", 0) for i in range(5)]
     req_b = serve._Request("b", 0)
     b._queues = {("k", "a"): list(reqs_a), ("k", "b"): [req_b]}
+    b._queued = 6
 
     key1, batch1 = b._take_batch()
     assert key1 == ("k", "a") and batch1 == reqs_a[:2]
@@ -524,3 +525,99 @@ def test_sigterm_drain_finishes_inflight_request():
         serve._model = saved_model
         serve._batcher = saved_batcher
         thread.join(timeout=30)
+
+
+def test_admission_control_429(server_port):
+    """When the projected wait exceeds the request timeout, new requests
+    are shed with 429 + Retry-After instead of queueing toward a 504."""
+    old = serve._request_timeout_s
+    serve._request_timeout_s = 1.0
+    saved = serve._batcher
+    b = serve.MicroBatcher.__new__(serve.MicroBatcher)  # no dispatcher
+    b._max_batch = 2
+    b._max_queue = 64
+    b._queues = {}
+    b._queued = 10            # backlog of 10 → 6 solves ahead
+    b._solve_ewma_s = 5.0     # projected 30 s >> 1 s timeout
+    b._cv = threading.Condition()
+    b.merged_batches = 0
+    b.shed_requests = 0
+    serve._batcher = b
+    try:
+        code, _, body = _post(server_port, "/synthesize",
+                              {"text": "сайн", "steps": 1})
+        assert code == 429
+        assert b"overloaded" in body
+        assert b.shed_requests == 1
+    finally:
+        serve._batcher = saved
+        serve._request_timeout_s = old
+
+
+def test_admission_hard_queue_cap(server_port):
+    """The hard --max-queue cap sheds even when the EWMA looks fast."""
+    saved = serve._batcher
+    b = serve.MicroBatcher.__new__(serve.MicroBatcher)
+    b._max_batch = 16
+    b._max_queue = 4
+    b._queues = {}
+    b._queued = 4
+    b._solve_ewma_s = 0.001
+    b._cv = threading.Condition()
+    b.merged_batches = 0
+    b.shed_requests = 0
+    serve._batcher = b
+    try:
+        code = _post(server_port, "/synthesize",
+                     {"text": "сайн", "steps": 1})[0]
+        assert code == 429
+    finally:
+        serve._batcher = saved
+
+
+def test_healthz_reports_shed_and_projected_wait(server_port):
+    with urllib.request.urlopen(
+        f"http://127.0.0.1:{server_port}/healthz", timeout=30
+    ) as resp:
+        body = json.loads(resp.read())
+    assert "shed_requests" in body
+    assert "projected_wait_s" in body
+
+
+def test_abandoned_requests_dropped_by_dispatcher(server_port):
+    """Entries whose handler already 504ed are dropped from the batch,
+    not solved: the dispatcher must never burn device time on audio
+    nobody will receive."""
+    calls = []
+    model = serve._model
+
+    class CountingModel:
+        sample_rate = model.sample_rate
+
+        def synthesize_batch(self, texts, seeds=None, **kw):
+            calls.append(list(texts))
+            return model.synthesize_batch(texts, seeds=seeds, **kw)
+
+        def num_params(self):
+            return model.num_params()
+
+    b = serve.MicroBatcher(CountingModel(), window_s=0.3)
+    params = dict(lang="mn", n_steps=1, cfg_strength=2.0,
+                  sway_sampling_coef=-1.0, speed=1.0)
+    old = serve._request_timeout_s
+    serve._request_timeout_s = 0.05  # every submit times out fast
+    try:
+        with serve._model_lock:  # wedge the device while requests queue
+            with pytest.raises(serve.RequestTimeout):
+                b.submit("сайн", 0, params)
+            with pytest.raises(serve.RequestTimeout):
+                b.submit("байна", 0, params)
+            import time as _time
+
+            _time.sleep(0.5)  # let the dispatcher take (and drop) them
+    finally:
+        serve._request_timeout_s = old
+    import time as _time
+
+    _time.sleep(1.0)
+    assert calls == []  # both entries were abandoned → no solve at all
