@@ -42,6 +42,9 @@ def load_model(checkpoint_path: str, use_ema: bool = True,
     dtype = jnp.float32 if precision == "float32" else None
     model = F5TTS.from_config(F5Config.from_dict(config),
                               scan_blocks=scan_blocks, dtype=dtype)
+    # calibrated ref-free duration table, written into config.json at
+    # training time (data/duration_stats.py); absent → reference chars*13
+    model.set_duration_stats(config.get("duration_stats"))
 
     if path.is_dir():
         found = cm.latest_checkpoint() or (

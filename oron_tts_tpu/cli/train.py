@@ -170,6 +170,22 @@ def main() -> None:
     dataset = build_dataset(args, config)
     print(f"Dataset size: {len(dataset)}")
 
+    # calibrate the ref-free duration heuristic from the corpus and ride
+    # it into config.json next to every checkpoint (VERDICT r4 #3: the
+    # reference's fixed chars*13 scores 3.7x worse on the alignment eval
+    # than true-duration synthesis; data/duration_stats.py)
+    if getattr(dataset, "durations", None) and getattr(dataset, "texts", None):
+        from oron_tts_tpu.data.duration_stats import stats_from_texts
+
+        stats = stats_from_texts(
+            dataset.texts, getattr(dataset, "langs", "mn"), dataset.durations,
+            config.get("sample_rate", 24000), config.get("hop_length", 256),
+        )
+        if stats is not None:
+            config["duration_stats"] = stats
+            print(f"Duration calibration: global "
+                  f"{stats['global']:.2f} frames/token over {stats['n']} clips")
+
     # 90/10 split, seeded (reference train.py:117-130). In multi-host runs
     # BOTH subsets stay global: the GlobalBatchSchedule below hands each
     # host its row-slice of every global batch, so hosts cooperate on the

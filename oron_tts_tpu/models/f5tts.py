@@ -204,6 +204,16 @@ class F5TTS:
         self._sample_cache: dict[tuple, Any] = {}
         self._mesh = None  # jax.sharding.Mesh for multi-chip serving
         self.quant_mode: str | None = None  # set by quantize_for_serving
+        # per-token duration calibration (data/duration_stats.py), learned
+        # from the training corpus and carried in config.json; None keeps
+        # the reference chars*13 heuristic
+        self.duration_stats: dict[str, Any] | None = None
+
+    def set_duration_stats(self, stats: dict[str, Any] | None) -> None:
+        """Install (or clear) the calibrated ref-free duration table."""
+        if stats is not None and not stats.get("fpc"):
+            stats = None
+        self.duration_stats = stats
 
     @property
     def variables(self) -> dict[str, Any] | None:
@@ -1033,8 +1043,9 @@ class F5TTS:
         ref_ids: list[int],
         speed: float,
     ) -> int:
-        """Duration cascade: explicit → ref-ratio → chars·13/speed, min 50
-        (reference f5tts.py:365-375)."""
+        """Duration cascade: explicit → ref-ratio → calibrated table →
+        chars·13/speed, min 50 (reference f5tts.py:365-375; the calibrated
+        rung is this framework's addition — data/duration_stats.py)."""
         if target_duration_s is not None:
             return max(
                 1, int(target_duration_s * self.sample_rate / self.hop_length)
@@ -1043,6 +1054,12 @@ class F5TTS:
             return max(
                 50, int(ref_len * len(target_ids) / len(ref_ids) / speed)
             )
+        if self.duration_stats is not None:
+            from oron_tts_tpu.data.duration_stats import estimate_frames
+
+            est = estimate_frames(target_ids, self.duration_stats, speed)
+            if est is not None:
+                return est
         chars = max(1, len(text.replace(" ", "")))
         return max(50, int(chars * 13 / speed))
 

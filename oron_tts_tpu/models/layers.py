@@ -566,6 +566,17 @@ class Attention(nn.Module):
 
 
 class FeedForward(nn.Module):
+    """Linear -> GELU(tanh) -> Dropout -> Linear (reference
+    modules.py:290-302).
+
+    On TPU the training path fuses GELU + dropout into one Pallas pass
+    whose backward regenerates the mask from a seed (ops/gelu_dropout.py)
+    — no threefry bit generation (~32 ms/step at Base, docs/KERNELS.md
+    "Dropout threefry") and no mask residual. ``ORON_FUSED_GELU_DROPOUT``:
+    "0" forces the reference XLA path (ablation), "interpret" enables the
+    kernel in interpreter mode off-TPU (CPU e2e tests).
+    """
+
     dim: int
     mult: int = 4
     dropout: float = 0.0
@@ -574,10 +585,29 @@ class FeedForward(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, deterministic: bool = True) -> jnp.ndarray:
+        import os
+
         inner = int(self.dim * self.mult)
         x = make_dense(inner, self.dtype, "in_proj", self.quant)(x)
-        x = nn.gelu(x, approximate=True)
-        x = nn.Dropout(self.dropout)(x, deterministic=deterministic)
+        knob = os.environ.get("ORON_FUSED_GELU_DROPOUT", "1")
+        use_fused = (
+            not deterministic
+            and self.dropout > 0.0
+            and knob != "0"
+            and (jax.default_backend() == "tpu" or knob == "interpret")
+        )
+        if use_fused:
+            from oron_tts_tpu.ops.gelu_dropout import (
+                gelu_dropout,
+                seed_from_key,
+            )
+
+            seed = seed_from_key(self.make_rng("dropout"))
+            x = gelu_dropout(x, seed, float(self.dropout),
+                             jax.default_backend() != "tpu")
+        else:
+            x = nn.gelu(x, approximate=True)
+            x = nn.Dropout(self.dropout)(x, deterministic=deterministic)
         return make_dense(self.dim, self.dtype, "out_proj", self.quant)(x)
 
 

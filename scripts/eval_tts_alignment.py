@@ -180,18 +180,35 @@ def main() -> None:
                   f"({time.time() - t0:.0f}s)")
     train_s = time.time() - t0
 
+    # calibrated ref-free duration (VERDICT r4 #3): fit the per-token
+    # frames table from the TRAINING split only, exactly as
+    # cli/train.py does for real corpora
+    from oron_tts_tpu.data.duration_stats import stats_from_texts
+
+    dur_stats = stats_from_texts(
+        train_texts, "mn", [len(w) / sr for w in train_wavs], sr, 256,
+    )
+
     results = {}
     for name, params in (("raw", trainer.state.params),
                          ("ema", trainer.state.ema_params)):
         model.variables = {"params": params}
         cer, per_clip = score(model, hold_texts, args.n_steps,
                               args.cfg_strength, args.seed)
+        model.set_duration_stats(None)
         cer_rf, _ = score(model, hold_texts, args.n_steps,
                           args.cfg_strength, args.seed, exact_duration=False)
+        model.set_duration_stats(dur_stats)
+        cer_cal, _ = score(model, hold_texts, args.n_steps,
+                           args.cfg_strength, args.seed,
+                           exact_duration=False)
+        model.set_duration_stats(None)
         results[name] = {"cer": round(cer, 4), "per_clip": per_clip,
-                         "cer_reffree_duration": round(cer_rf, 4)}
+                         "cer_reffree_duration": round(cer_rf, 4),
+                         "cer_reffree_calibrated": round(cer_cal, 4)}
         print(f"holdout CER ({name}): {cer:.4f} "
-              f"(ref-free duration heuristic: {cer_rf:.4f})")
+              f"(ref-free heuristic: {cer_rf:.4f}, "
+              f"calibrated: {cer_cal:.4f})")
 
     payload = {
         "protocol": "tone-code alignment (oron_tts_tpu/evals/alignment.py)",
@@ -206,6 +223,9 @@ def main() -> None:
         "sentences": args.sentences, "holdout_n": args.holdout,
         "n_steps": args.n_steps, "cfg_strength": args.cfg_strength,
         "seed": args.seed,
+        "duration_stats_global": (
+            dur_stats["global"] if dur_stats else None
+        ),
     }
     args.out.write_text(json.dumps(payload, indent=1))
     print(f"wrote {args.out}")
