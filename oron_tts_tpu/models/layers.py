@@ -582,32 +582,47 @@ class FeedForward(nn.Module):
     dropout: float = 0.0
     dtype: Dtype = jnp.float32
     quant: str | None = None
+    # when False, the caller owns the remat boundary around the fused op
+    # (DiTBlock widens it to include its LN+modulation so the region's
+    # input is the already-saved residual stream — see DiTBlock)
+    own_remat: bool = True
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, deterministic: bool = True) -> jnp.ndarray:
-        import os
+        from oron_tts_tpu.ops.gelu_dropout import fused_active
 
         inner = int(self.dim * self.mult)
-        x = make_dense(inner, self.dtype, "in_proj", self.quant)(x)
-        knob = os.environ.get("ORON_FUSED_GELU_DROPOUT", "1")
-        use_fused = (
-            not deterministic
-            and self.dropout > 0.0
-            and knob != "0"
-            and (jax.default_backend() == "tpu" or knob == "interpret")
-        )
-        if use_fused:
+        if fused_active(self.dropout, deterministic):
             from oron_tts_tpu.ops.gelu_dropout import (
                 gelu_dropout,
                 seed_from_key,
             )
 
-            seed = seed_from_key(self.make_rng("dropout"))
-            x = gelu_dropout(x, seed, float(self.dropout),
-                             jax.default_backend() != "tpu")
-        else:
-            x = nn.gelu(x, approximate=True)
-            x = nn.Dropout(self.dropout)(x, deterministic=deterministic)
+            rate = float(self.dropout)
+            interp = jax.default_backend() != "tpu"
+
+            # remat region must span the WHOLE FFN: the custom-call
+            # kernel is opaque to XLA's own remat pass, so any narrower
+            # boundary materializes a [B, T, 4*dim] tensor per layer —
+            # BOTH the kernel's input (its VJP residual) and its output
+            # (out_proj's dW residual) — measured 19.3 G / 19.9 G
+            # compile OOMs vs the 14.9 G unfused baseline, where XLA
+            # recomputes the same values by seeing through gelu+mask
+            # HLOs. The backward instead recomputes the two Dense
+            # matmuls + one kernel pass (~2.4 ms/layer).
+            def ffn_body(mdl, xv):
+                seed = seed_from_key(mdl.make_rng("dropout"))
+                pre = make_dense(inner, mdl.dtype, "in_proj", mdl.quant)(xv)
+                h = gelu_dropout(pre, seed, rate, interp)
+                return make_dense(mdl.dim, mdl.dtype, "out_proj",
+                                  mdl.quant)(h)
+
+            if self.own_remat:
+                return nn.checkpoint(ffn_body)(self, x)
+            return ffn_body(self, x)
+        x = make_dense(inner, self.dtype, "in_proj", self.quant)(x)
+        x = nn.gelu(x, approximate=True)
+        x = nn.Dropout(self.dropout)(x, deterministic=deterministic)
         return make_dense(self.dim, self.dtype, "out_proj", self.quant)(x)
 
 
@@ -647,6 +662,32 @@ class DiTBlock(nn.Module):
             name="attn",
         )(normed, mask=mask, rope=rope, deterministic=deterministic)
         x = x + gate_msa[:, None] * attn_out
+
+        from oron_tts_tpu.ops.gelu_dropout import fused_active
+
+        if fused_active(self.dropout, deterministic):
+            # widen the fused-FFN remat region to include the (param-free)
+            # LN + AdaLN modulation: the region's input becomes the
+            # residual stream x — already live for the residual add — so
+            # no extra [B, T, dim] modulated tensor is saved per layer
+            # (measured: the narrower FFN-only region was +1.05 GB and
+            # missed the no-remat HBM fit by 1.4 MB at Base B=12)
+            def ff_region(mdl, xs, smlp, shmlp):
+                fn = nn.LayerNorm(
+                    use_bias=False, use_scale=False, epsilon=1e-6,
+                    dtype=mdl.dtype, name="ff_norm",
+                )(xs)
+                fn = fn * (1 + smlp[:, None]) + shmlp[:, None]
+                return FeedForward(
+                    dim=mdl.dim, mult=mdl.ff_mult, dropout=mdl.dropout,
+                    dtype=mdl.dtype, quant=mdl.quant, name="ff",
+                    own_remat=False,
+                )(fn, deterministic=deterministic)
+
+            ff_out = nn.checkpoint(ff_region)(
+                self, x, scale_mlp, shift_mlp
+            )
+            return x + gate_mlp[:, None] * ff_out
 
         ff_normed = nn.LayerNorm(
             use_bias=False, use_scale=False, epsilon=1e-6, dtype=self.dtype,

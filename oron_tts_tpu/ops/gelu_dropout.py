@@ -180,6 +180,25 @@ def _gd_bwd(rate, interpret, residuals, dy):
 gelu_dropout.defvjp(_gd_fwd, _gd_bwd)
 
 
+def fused_active(rate: float, deterministic: bool) -> bool:
+    """Whether the fused GELU+dropout training path should be used.
+
+    One gate shared by FeedForward and DiTBlock (which must agree on it:
+    the block widens the remat region around the FFN exactly when the
+    fused op is inside). ``ORON_FUSED_GELU_DROPOUT``: "0" disables,
+    "interpret" enables off-TPU in interpreter mode (CPU e2e tests).
+    """
+    import os
+
+    knob = os.environ.get("ORON_FUSED_GELU_DROPOUT", "1")
+    return (
+        not deterministic
+        and rate > 0.0
+        and knob != "0"
+        and (jax.default_backend() == "tpu" or knob == "interpret")
+    )
+
+
 def seed_from_key(key: jax.Array) -> jnp.ndarray:
     """int32 kernel seed from a JAX PRNG key (typed or raw uint32[2])."""
     data = jax.random.key_data(key).ravel()

@@ -53,6 +53,16 @@ def parse_args() -> argparse.Namespace:
     ap.add_argument("--max-batch", type=int, default=16)
     ap.add_argument("--device", type=str, default=None)
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--profile", choices=["default", "fast"],
+                    default="default",
+                    help="'fast' measures serve.py's --profile fast "
+                         "composition (int8_dynamic + cfg_interval + "
+                         "midpoint); results land under their own key "
+                         "in the artifact")
+    ap.add_argument("--request-timeout", type=float, default=120.0,
+                    help="serve-side wait ceiling; low values exercise "
+                         "admission control (429 + Retry-After) under "
+                         "this burst")
     ap.add_argument("--out", type=Path, default=REPO_ROOT / "SERVE_LOAD.json")
     return ap.parse_args()
 
@@ -84,12 +94,22 @@ def main() -> None:
     print(f"backend={jax.default_backend()} params={model.num_params()/1e6:.0f}M",
           flush=True)
 
+    solver_kwargs = {}
+    if args.profile == "fast":
+        # serve.py --profile fast composition (each lever individually
+        # parity-tested; ablation in docs/KERNELS.md)
+        model.quantize_for_serving("int8_dynamic")
+        solver_kwargs = {"cfg_interval": (0.10, 0.70), "method": "midpoint"}
+        serve._profile_defaults.update(solver_kwargs)
+
     serve._model = model
+    serve._request_timeout_s = args.request_timeout
     serve._batcher = serve.MicroBatcher(model, max_batch=args.max_batch)
     serve._meta["params"] = model.num_params()
     t0 = time.perf_counter()
     serve.prewarm_lattice(model, max_batch=args.max_batch,
-                          chunk_chars=LENGTHS, n_steps=args.steps)
+                          chunk_chars=LENGTHS, n_steps=args.steps,
+                          **solver_kwargs)
     warm_s = time.perf_counter() - t0
     httpd = serve.DrainingHTTPServer(("127.0.0.1", 0), serve.Handler)
     threading.Thread(target=httpd.serve_forever, daemon=True).start()
@@ -110,7 +130,11 @@ def main() -> None:
     it = iter(enumerate(reqs))
     it_lock = threading.Lock()
 
+    shed = {"n429": 0, "n504": 0}
+
     def client() -> None:
+        import urllib.error
+
         while True:
             with it_lock:
                 try:
@@ -119,18 +143,33 @@ def main() -> None:
                     return
             body = json.dumps({"text": text, "steps": args.steps,
                                "seed": i}).encode()
-            r = urllib.request.Request(
-                f"http://127.0.0.1:{port}/synthesize", data=body,
-                method="POST")
             t = time.perf_counter()
-            for attempt in range(3):
+            # a well-behaved client under admission control: honor 429's
+            # Retry-After and retry until served (total latency includes
+            # backoff time — the honest number for the end user)
+            for attempt in range(50):
+                r = urllib.request.Request(
+                    f"http://127.0.0.1:{port}/synthesize", data=body,
+                    method="POST")
                 try:
                     with urllib.request.urlopen(r, timeout=600) as resp:
                         assert resp.status == 200
                         resp.read()
                     break
+                except urllib.error.HTTPError as exc:
+                    exc.read()
+                    if exc.code == 429:
+                        with lat_lock:
+                            shed["n429"] += 1
+                        time.sleep(float(exc.headers.get("Retry-After", 1)))
+                        continue
+                    if exc.code == 504:
+                        with lat_lock:
+                            shed["n504"] += 1
+                        continue
+                    raise
                 except (ConnectionResetError, OSError):
-                    if attempt == 2:
+                    if attempt >= 2:
                         raise
                     time.sleep(0.2 * (attempt + 1))
             dt = time.perf_counter() - t
@@ -174,10 +213,24 @@ def main() -> None:
             for n, v in lat_by_len.items() if v
         },
         "merged_batches": serve._batcher.merged_batches,
+        "request_timeout_s": args.request_timeout,
+        "responses_429": shed["n429"],
+        "responses_504": shed["n504"],
+        "shed_requests": serve._batcher.shed_requests,
     }
-    args.out.write_text(json.dumps(payload, indent=1))
+    # profiles accumulate in one artifact: {"profiles": {default, fast}}
+    existing = {}
+    if args.out.exists():
+        try:
+            existing = json.loads(args.out.read_text())
+        except Exception:
+            existing = {}
+    if "profiles" not in existing:
+        existing = {"profiles": {}}
+    existing["profiles"][args.profile] = payload
+    args.out.write_text(json.dumps(existing, indent=1))
     print(json.dumps(payload, indent=1))
-    print(f"wrote {args.out}")
+    print(f"wrote {args.out} [{args.profile}]")
 
 
 if __name__ == "__main__":
