@@ -185,12 +185,19 @@ def fused_active(rate: float, deterministic: bool) -> bool:
 
     One gate shared by FeedForward and DiTBlock (which must agree on it:
     the block widens the remat region around the FFN exactly when the
-    fused op is inside). ``ORON_FUSED_GELU_DROPOUT``: "0" disables,
-    "interpret" enables off-TPU in interpreter mode (CPU e2e tests).
+    fused op is inside). ``ORON_FUSED_GELU_DROPOUT``: "1" enables on
+    TPU, "interpret" enables off-TPU in interpreter mode (CPU e2e tests).
+
+    DEFAULT OFF (opt-in experiment): the op itself is correct and
+    HBM-clean with the block-level remat region (15.75G footprint fits),
+    but the 22 unrolled per-block nn.checkpoint regions around an opaque
+    custom call blew the Base train-step XLA compile past 25 minutes on
+    v5e (baseline: ~2 min) — unacceptable for the shipped path. See
+    docs/KERNELS.md "Fused GELU+dropout (rejected as default)".
     """
     import os
 
-    knob = os.environ.get("ORON_FUSED_GELU_DROPOUT", "1")
+    knob = os.environ.get("ORON_FUSED_GELU_DROPOUT", "0")
     return (
         not deterministic
         and rate > 0.0
