@@ -421,6 +421,51 @@ def _flash_lanes_kernel(
     o_ref[0] = jnp.concatenate(outs, axis=-1).astype(o_ref.dtype)
 
 
+def _flash_lanes_fwd_stats_kernel(
+    lens_ref, q_ref, k_ref, v_ref, o_ref, lse_ref, *, d: int,
+    sm_scale: float,
+):
+    """Forward + per-row softmax stats for the stats-reusing backward.
+
+    Identical math to ``_flash_lanes_kernel`` (masked path), additionally
+    writing lse2 = m + log2(l) per (head, query row) — the single number
+    the backward needs to reconstruct p = exp2(s·scale − lse2) without
+    redoing the max/sum reductions (measured 19 ms of the 22-layer
+    backward at the Base train shape, docs/KERNELS.md round-5 notes).
+    """
+    q = q_ref[0]  # [block_q, 128]
+    block_q, lanes = q.shape
+    t_kv = k_ref.shape[1]
+    kv_len = lens_ref[pl.program_id(0)]
+    s_scale = sm_scale * LOG2_E
+    k_all = k_ref[0]
+    v_all = v_ref[0]
+    col_valid = (
+        jax.lax.broadcasted_iota(jnp.int32, (block_q, t_kv), 1) < kv_len
+    )
+    outs, lses = [], []
+    for h in range(lanes // d):
+        sl = slice(h * d, (h + 1) * d)
+        s = jax.lax.dot_general(
+            q[:, sl], k_all[:, sl], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * s_scale
+        s = jnp.where(col_valid, s, NEG_INF)
+        m = jnp.max(s, axis=-1, keepdims=True)
+        p = jnp.exp2(s - m)
+        l = jnp.sum(p, axis=-1, keepdims=True)
+        acc = jax.lax.dot(
+            p.astype(v_all.dtype), v_all[:, sl],
+            preferred_element_type=jnp.float32,
+        )
+        outs.append(acc / jnp.maximum(l, 1e-30))
+        lses.append(jnp.transpose(
+            m + jnp.log2(jnp.maximum(l, 1e-30))
+        ))  # [1, block_q] along lanes
+    o_ref[0] = jnp.concatenate(outs, axis=-1).astype(o_ref.dtype)
+    lse_ref[0, 0] = jnp.concatenate(lses, axis=0)  # [heads/tile, block_q]
+
+
 def _lanes_block_q(T: int, budget_bytes: int) -> int:
     """Largest divisor of T within the f32-score-tile VMEM budget.
 
@@ -481,17 +526,24 @@ def _flash_lanes_fwd_call(q, k, v, kv_lens, heads, interpret=False):
 
 
 def _flash_lanes_bwd_kernel(
-    lens_ref, q_ref, k_ref, v_ref, o_ref, do_ref,
+    lens_ref, q_ref, k_ref, v_ref, o_ref, do_ref, lse_ref,
     dq_ref, dk_ref, dv_ref,
     *, d: int, block_q: int, sm_scale: float, masked: bool,
 ):
     """One program per (batch, lane-tile); fori over q blocks, static loop
-    over the tile's heads. dK/dV accumulate as f32 [T, 128] carries."""
+    over the tile's heads. dK/dV accumulate as f32 [T, 128] carries.
+
+    p is reconstructed from the forward's saved lse2 stats
+    (``p = exp2(s·scale − lse2)``) — no max/sum reductions here; the QK
+    recompute itself stays (a [T, T] p residual would be absurd)."""
     t_kv, lanes = k_ref.shape[1], k_ref.shape[2]
     num_q = t_kv // block_q
     kv_len = lens_ref[pl.program_id(0)]
     k_all = k_ref[0]
     v_all = v_ref[0]
+    # [heads/tile, T] -> [T, heads/tile]: one small transpose per program
+    # so each q block slices its rows as a sublane column vector
+    lse_t = jnp.transpose(lse_ref[0, 0])
     s_scale = sm_scale * LOG2_E
     if masked:
         col_valid = (
@@ -514,9 +566,9 @@ def _flash_lanes_bwd_kernel(
             ) * s_scale
             if masked:
                 s = jnp.where(col_valid, s, NEG_INF)
-            m = jnp.max(s, axis=-1, keepdims=True)
-            p = jnp.exp2(s - m)
-            p = p / jnp.maximum(jnp.sum(p, axis=-1, keepdims=True), 1e-30)
+            p = jnp.exp2(s - jax.lax.dynamic_slice(
+                lse_t, (qi * block_q, h), (block_q, 1)
+            ))
             dp = jax.lax.dot_general(
                 doh.astype(v_all.dtype), v_all[:, sl],
                 (((1,), (1,)), ((), ())),
@@ -552,12 +604,62 @@ def _flash_lanes_bwd_kernel(
 
 
 @functools.partial(jax.jit, static_argnames=("heads", "interpret"))
-def _flash_lanes_bwd_call(q, k, v, kv_lens, out, dout, heads, interpret=False):
+def _flash_lanes_fwd_stats_call(q, k, v, kv_lens, heads, interpret=False):
+    """Forward returning (out, lse2 stats [B, n_tiles, heads/tile, T])."""
     B, T, HD = q.shape
     D = HD // heads
     sm_scale = 1.0 / math.sqrt(D)
     n_lane_tiles = max(HD // _LANE_TILE, 1)
     tile = min(_LANE_TILE, HD)
+    hpt = tile // D  # heads per lane tile
+    fwd_kb = int(os.environ.get("ORON_LANES_FWD_BUDGET_KB", 9 * 1024))
+    block_q = _lanes_block_q(T, fwd_kb * 1024)
+    out, lse = pl.pallas_call(
+        functools.partial(
+            _flash_lanes_fwd_stats_kernel, d=D, sm_scale=sm_scale
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((B, T, HD), q.dtype),
+            jax.ShapeDtypeStruct((B, n_lane_tiles, hpt, T), jnp.float32),
+        ),
+        grid=(B, n_lane_tiles, T // block_q),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, block_q, tile), lambda b, h, i: (b, i, h),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, T, tile), lambda b, h, i: (b, 0, h),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, T, tile), lambda b, h, i: (b, 0, h),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, block_q, tile), lambda b, h, i: (b, i, h),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, hpt, block_q), lambda b, h, i: (b, h, 0, i),
+                         memory_space=pltpu.VMEM),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * T * T * HD * B,
+            bytes_accessed=3 * B * T * HD * 2,
+            transcendentals=B * heads * T * T,
+        ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(kv_lens.astype(jnp.int32), q, k, v)
+    return out, lse
+
+
+@functools.partial(jax.jit, static_argnames=("heads", "interpret"))
+def _flash_lanes_bwd_call(q, k, v, kv_lens, out, dout, lse, heads,
+                          interpret=False):
+    B, T, HD = q.shape
+    D = HD // heads
+    sm_scale = 1.0 / math.sqrt(D)
+    n_lane_tiles = max(HD // _LANE_TILE, 1)
+    tile = min(_LANE_TILE, HD)
+    hpt = tile // D
     # 4 f32 [block_q, T] tiles live per head iteration — the heads run
     # sequentially. Default budget 6144 KB → block_q=512 at T=2048, the
     # r4 sweep optimum on v5e (22-layer fwd+bwd: 1536 KB/bq128 309 ms,
@@ -569,6 +671,8 @@ def _flash_lanes_bwd_call(q, k, v, kv_lens, out, dout, heads, interpret=False):
     block_q = _lanes_block_q(T, budget_kb * 1024)
     full = pl.BlockSpec((1, T, tile), lambda b, h: (b, 0, h),
                         memory_space=pltpu.VMEM)
+    lse_spec = pl.BlockSpec((1, 1, hpt, T), lambda b, h: (b, h, 0, 0),
+                            memory_space=pltpu.VMEM)
     dq, dk, dv = pl.pallas_call(
         functools.partial(
             _flash_lanes_bwd_kernel, d=D, block_q=block_q,
@@ -581,7 +685,7 @@ def _flash_lanes_bwd_call(q, k, v, kv_lens, out, dout, heads, interpret=False):
         ),
         grid=(B, n_lane_tiles),
         in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM), full, full, full,
-                  full, full],
+                  full, full, lse_spec],
         out_specs=(full, full, full),
         cost_estimate=pl.CostEstimate(
             flops=10 * T * T * HD * B,
@@ -593,7 +697,7 @@ def _flash_lanes_bwd_call(q, k, v, kv_lens, out, dout, heads, interpret=False):
         ),
         interpret=interpret,
     )(
-        kv_lens.astype(jnp.int32), q, k, v, out, dout,
+        kv_lens.astype(jnp.int32), q, k, v, out, dout, lse,
     )
     return dq, dk, dv
 
@@ -614,14 +718,19 @@ def flash_attention_lanes(q, k, v, kv_lens, heads, interpret=False):
 def _fal_fwd(q, k, v, kv_lens, heads, interpret):
     if kv_lens is None:
         kv_lens = jnp.full((q.shape[0],), q.shape[1], jnp.int32)
-    out = _flash_lanes_fwd_call(q, k, v, kv_lens, heads, interpret)
-    return out, (q, k, v, kv_lens, out)
+    # stats-producing forward: identical outputs to _flash_lanes_fwd_call
+    # plus the lse2 row stats ([B, tiles, heads/tile, T] f32, ~1.6 MB at
+    # the Base train shape) that let the backward skip its max/sum
+    # reductions (−19 ms of 176 over 22 layers, measured on v5e)
+    out, lse = _flash_lanes_fwd_stats_call(q, k, v, kv_lens, heads,
+                                           interpret)
+    return out, (q, k, v, kv_lens, out, lse)
 
 
 def _fal_bwd(heads, interpret, residuals, dout):
-    q, k, v, kv_lens, out = residuals
+    q, k, v, kv_lens, out, lse = residuals
     dq, dk, dv = _flash_lanes_bwd_call(
-        q, k, v, kv_lens, out, dout, heads, interpret
+        q, k, v, kv_lens, out, dout, lse, heads, interpret
     )
     return dq, dk, dv, None
 

@@ -217,6 +217,11 @@ def main() -> None:
         "holdout": results,
         "train_seconds": round(train_s, 1),
         "steps": int(trainer.state.step),
+        # raw-frame throughput over the whole run (decode + collate +
+        # device step + eval-epoch overheads included)
+        "frames_per_s": round(
+            args.epochs * sum(len(w) // 256 for w in train_wavs) / train_s
+        ),
         "final_train_loss": round(float(loss), 4),
         "config": {k: cfg[k] for k in
                    ("learning_rate", "num_epochs", "ema_decay", "model")},

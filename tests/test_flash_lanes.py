@@ -192,3 +192,36 @@ def test_lanes_forward_odd_t():
     out = flash_attention_lanes(q, k, v, lens, heads, True)
     ref = ref_attention_lanes(q, k, v, heads, lens=[T - 11])
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+
+def test_stats_forward_bit_matches_plain_forward():
+    """The VJP's stats-producing forward must return the same primal as
+    the plain lanes forward (its lse2 extra output feeds the reduction-
+    free backward, round-5 docs/KERNELS.md)."""
+    import numpy as np
+
+    from oron_tts_tpu.ops.flash_attention import (
+        _flash_lanes_fwd_call,
+        _flash_lanes_fwd_stats_call,
+    )
+
+    B, T, heads, D = 2, 256, 4, 32
+    rng = np.random.default_rng(0)
+    q = jnp.asarray(rng.standard_normal((B, T, heads * D)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((B, T, heads * D)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((B, T, heads * D)), jnp.float32)
+    lens = jnp.asarray([T, T - 57], jnp.int32)
+    plain = _flash_lanes_fwd_call(q, k, v, lens, heads, True)
+    out, lse = _flash_lanes_fwd_stats_call(q, k, v, lens, heads, True)
+    np.testing.assert_array_equal(np.asarray(plain), np.asarray(out))
+    # lse2 really is log2-sum-exp2 of the scaled scores: rebuild p from it
+    # for one (batch, head) and check it normalizes
+    import math
+
+    s = np.einsum(
+        "td,sd->ts",
+        np.asarray(q[1, :, :D]), np.asarray(k[1, :, :D]),
+    ) / math.sqrt(D) * 1.4426950408889634
+    s[:, T - 57:] = -1e30 * 1.4426950408889634
+    p = 2.0 ** (s - np.asarray(lse)[1, 0, 0][:, None])
+    np.testing.assert_allclose(p.sum(axis=-1), 1.0, rtol=2e-3)
