@@ -541,9 +541,6 @@ def _flash_lanes_bwd_kernel(
     kv_len = lens_ref[pl.program_id(0)]
     k_all = k_ref[0]
     v_all = v_ref[0]
-    # [heads/tile, T] -> [T, heads/tile]: one small transpose per program
-    # so each q block slices its rows as a sublane column vector
-    lse_t = jnp.transpose(lse_ref[0, 0])
     s_scale = sm_scale * LOG2_E
     if masked:
         col_valid = (
@@ -566,9 +563,13 @@ def _flash_lanes_bwd_kernel(
             ) * s_scale
             if masked:
                 s = jnp.where(col_valid, s, NEG_INF)
-            p = jnp.exp2(s - jax.lax.dynamic_slice(
-                lse_t, (qi * block_q, h), (block_q, 1)
-            ))
+            # lse_ref is [1, 1, T, heads/tile] (caller pre-transposes in
+            # XLA): rows slice straight off the ref as a column vector —
+            # Mosaic supports pl.ds on refs but not lax.dynamic_slice on
+            # values
+            p = jnp.exp2(
+                s - lse_ref[0, 0, pl.ds(qi * block_q, block_q), h:h + 1]
+            )
             dp = jax.lax.dot_general(
                 doh.astype(v_all.dtype), v_all[:, sl],
                 (((1,), (1,)), ((), ())),
@@ -671,7 +672,11 @@ def _flash_lanes_bwd_call(q, k, v, kv_lens, out, dout, lse, heads,
     block_q = _lanes_block_q(T, budget_kb * 1024)
     full = pl.BlockSpec((1, T, tile), lambda b, h: (b, 0, h),
                         memory_space=pltpu.VMEM)
-    lse_spec = pl.BlockSpec((1, 1, hpt, T), lambda b, h: (b, h, 0, 0),
+    # stats arrive [B, tiles, heads/tile, T] from the forward (lane-
+    # friendly writes); transpose the tiny tensor once in XLA so the
+    # kernel can slice per-q-block rows as column vectors off the ref
+    lse = jnp.swapaxes(lse, -1, -2)  # -> [B, tiles, T, hpt]
+    lse_spec = pl.BlockSpec((1, 1, T, hpt), lambda b, h: (b, h, 0, 0),
                             memory_space=pltpu.VMEM)
     dq, dk, dv = pl.pallas_call(
         functools.partial(
