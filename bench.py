@@ -20,8 +20,10 @@ Baselines:
 The measured pipeline is the production path: stretched text ids → CFG
 Euler sampler (bf16 DiT, jitted, text embeddings hoisted) → Vocos decode →
 host transfer; the train step is the fused donated loss+grad+AdamW+EMA step
-at a production frame-budget bucket (B=24, T=2048 ≈ 49k frames, bf16,
-flash attention fwd+bwd, full per-block remat).
+at the single-chip fast-path bucket (B=12, T=2048 ≈ 24.6k frames, bf16,
+lanes flash attention fwd + stats-reusing bwd, no remat, bf16 Adam mu —
+the configuration `gradient_checkpointing: auto` picks when the bucket
+fits HBM; see docs/KERNELS.md "Base train step").
 """
 
 from __future__ import annotations

@@ -680,11 +680,14 @@ def main() -> None:
     parser.add_argument("--profile", type=str, default=None,
                         choices=["fast"],
                         help="'fast' composes the measured-best opt-in "
-                             "levers as server defaults: int8_dynamic w8a8 "
-                             "weights, guidance interval [0.10, 0.70] and "
-                             "the midpoint solver (each individually "
-                             "parity-tested; ablation in docs/KERNELS.md). "
-                             "Per-request parameters still override.")
+                             "speed levers as server defaults: int8_dynamic "
+                             "w8a8 weights + guidance interval [0.10, 0.70] "
+                             "(-35.7%% solve time composed, ablation in "
+                             "docs/KERNELS.md; midpoint is deliberately NOT "
+                             "included — at a fixed step count it doubles "
+                             "NFE, it trades steps for accuracy, not "
+                             "speed). Per-request parameters still "
+                             "override.")
     parser.add_argument("--no-scan-blocks", action="store_true",
                         help="Use the unrolled DiT block loop instead of "
                              "lax.scan (identical numerics; scan compiles "
@@ -730,10 +733,9 @@ def main() -> None:
         if args.quantize is None:
             args.quantize = "int8_dynamic"
         _profile_defaults["cfg_interval"] = (0.10, 0.70)
-        _profile_defaults["method"] = "midpoint"
         _meta["profile"] = "fast"
         print("[serve] profile=fast: int8_dynamic + cfg_interval(0.10,0.70)"
-              " + midpoint defaults")
+              " defaults")
     validate_quantize_mesh(parser, args.quantize, args.mesh)
     _model = load_model(args.checkpoint, use_ema=not args.no_ema,
                         scan_blocks=not args.no_scan_blocks,

@@ -493,6 +493,13 @@ class F5Trainer:
         # one host writes TensorBoard, checkpoints, audio diagnostics, and
         # hub pushes; on a pod every host otherwise races the same HF repo
         self.is_main_process = jax.process_index() == 0
+        # calibrated ref-free duration table (cli/train.py fits it from
+        # the corpus): the in-training audio diagnostics synthesize with
+        # the same duration rule inference will use
+        if config.get("duration_stats") and hasattr(
+            model, "set_duration_stats"
+        ):
+            model.set_duration_stats(config["duration_stats"])
 
         lr = config.get("learning_rate", 1e-4)
         betas = tuple(config.get("betas", [0.9, 0.999]))

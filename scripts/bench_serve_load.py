@@ -96,10 +96,11 @@ def main() -> None:
 
     solver_kwargs = {}
     if args.profile == "fast":
-        # serve.py --profile fast composition (each lever individually
-        # parity-tested; ablation in docs/KERNELS.md)
+        # serve.py --profile fast composition (int8_dynamic + guidance
+        # interval, the −35.7% composed speed lever; midpoint is NOT a
+        # speed lever at fixed steps — docs/KERNELS.md ablation)
         model.quantize_for_serving("int8_dynamic")
-        solver_kwargs = {"cfg_interval": (0.10, 0.70), "method": "midpoint"}
+        solver_kwargs = {"cfg_interval": (0.10, 0.70)}
         serve._profile_defaults.update(solver_kwargs)
 
     serve._model = model
