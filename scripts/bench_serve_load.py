@@ -167,6 +167,10 @@ def main() -> None:
                     if exc.code == 504:
                         with lat_lock:
                             shed["n504"] += 1
+                        # back off before resubmitting: a no-delay 504
+                        # retry hammers a stalled device and turns one
+                        # long stall into a cascade
+                        time.sleep(2.0)
                         continue
                     raise
                 except (ConnectionResetError, OSError):
