@@ -145,16 +145,30 @@ class MicroBatcher:
         self._thread = threading.Thread(target=self._loop, daemon=True)
         self._thread.start()
 
-    def projected_wait_s(self, queued: int | None = None) -> float:
-        """Projected QUEUE WAIT for a request behind ``queued`` others:
-        the number of max_batch-sized solves ahead of it times the EWMA
-        solve time. Deliberately excludes the request's OWN solve —
-        --request-timeout bounds waiting, not device work, so an idle
-        server always admits even when one solve exceeds the timeout."""
-        if queued is None:
+    def _solves_ahead_locked(self) -> int:
+        """Batched solves needed to clear the current backlog (hold _cv).
+
+        Counted PER parameter key: requests only batch with same-key
+        neighbors, so 64 requests across 8 keys need 8+ solves, not 4
+        (a single ceil(total/max_batch) underestimates heterogeneous
+        traffic and admits requests toward a certain 504). Abandoned
+        (already-504ed) entries are excluded — the dispatcher drops them
+        without solving, so they represent no future wait."""
+        total = 0
+        for reqs in self._queues.values():
+            n = sum(1 for r in reqs if not r.abandoned)
+            total += (n + self._max_batch - 1) // self._max_batch
+        return total
+
+    def projected_wait_s(self, solves_ahead: int | None = None) -> float:
+        """Projected QUEUE WAIT for a new request: per-key solves ahead
+        of it times the EWMA solve time. Deliberately excludes the
+        request's OWN solve — --request-timeout bounds waiting, not
+        device work, so an idle server always admits even when one solve
+        exceeds the timeout."""
+        if solves_ahead is None:
             with self._cv:
-                queued = self._queued
-        solves_ahead = (queued + self._max_batch - 1) // self._max_batch
+                solves_ahead = self._solves_ahead_locked()
         return solves_ahead * self._solve_ewma_s
 
     def submit(self, text: str, seed: int, params: dict) -> "object":
@@ -164,7 +178,7 @@ class MicroBatcher:
             # wait already exceeds the request timeout (the request would
             # 504 anyway) or the queue is at its hard cap — 429 +
             # Retry-After beats queueing toward a certain timeout
-            projected = self.projected_wait_s(self._queued)
+            projected = self.projected_wait_s(self._solves_ahead_locked())
             if self._queued >= self._max_queue or \
                     projected > _request_timeout_s:
                 self.shed_requests += 1
@@ -201,7 +215,13 @@ class MicroBatcher:
         drained key re-inserts at the end on its next request, so iteration
         order rotates across keys instead of starving later ones."""
         for key in list(self._queues):
-            reqs = self._queues[key]
+            # drop abandoned (already-504ed) entries BEFORE slicing: they
+            # must not consume max_batch slots, or under sustained
+            # overload a head full of timed-out entries starves live
+            # requests behind it for extra window cycles
+            reqs = [r for r in self._queues[key] if not r.abandoned]
+            for r in self._queues[key]:
+                r.taken = r.taken or r.abandoned
             batch, rest = reqs[: self._max_batch], reqs[self._max_batch:]
             # always delete THEN re-insert leftovers: reassigning an
             # existing dict key keeps its insertion position, so a key
@@ -240,14 +260,18 @@ class MicroBatcher:
                 continue
             params = dict(key)
             try:
-                t_solve = time.perf_counter()
                 with _model_lock:
+                    # time from INSIDE the lock: the EWMA feeds the
+                    # projected-wait estimate and must measure one solve,
+                    # not lock contention (counting wait time would
+                    # inflate projections and spuriously shed)
+                    t_solve = time.perf_counter()
                     wavs = self._model.synthesize_batch(
                         [r.text for r in batch],
                         seeds=[r.seed for r in batch],
                         **params,
                     )
-                dt = time.perf_counter() - t_solve
+                    dt = time.perf_counter() - t_solve
                 self._solve_ewma_s += 0.3 * (dt - self._solve_ewma_s)
                 if len(batch) > 1:
                     self.merged_batches += 1

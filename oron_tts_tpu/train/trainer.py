@@ -249,24 +249,27 @@ def _relayout_state(state: Any, state_fmt: Any) -> Any:
     leaves, treedef = jax.tree_util.tree_flatten(state)
     fmts = treedef.flatten_up_to(state_fmt)
     # a buffer aliased at several leaves must not be deleted while later
-    # leaves still need it — count first, only delete sole references
+    # leaves still need it — count references and free after the LAST
+    # occurrence (freeing never would break the ~1-leaf peak-overhead
+    # contract for aliased trees)
     counts: dict[int, int] = {}
     for leaf in leaves:
         counts[id(leaf)] = counts.get(id(leaf), 0) + 1
     out = []
     for leaf, fmt in zip(leaves, fmts):
+        counts[id(leaf)] -= 1
+        last_use = counts[id(leaf)] == 0
         try:
             new = jax.device_put(leaf, fmt)
         except Exception as exc:  # noqa: BLE001 — re-raised unless OOM
             if "RESOURCE_EXHAUSTED" not in str(exc):
                 raise
             host = jax.device_get(leaf)
-            if counts[id(leaf)] == 1 and hasattr(leaf, "delete"):
+            if last_use and hasattr(leaf, "delete"):
                 leaf.delete()
             new = jax.device_put(host, fmt)
         else:
-            if new is not leaf and counts[id(leaf)] == 1 and \
-                    hasattr(leaf, "delete"):
+            if new is not leaf and last_use and hasattr(leaf, "delete"):
                 leaf.delete()
         out.append(new)
     return jax.tree_util.tree_unflatten(treedef, out)

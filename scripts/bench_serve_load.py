@@ -56,9 +56,10 @@ def parse_args() -> argparse.Namespace:
     ap.add_argument("--profile", choices=["default", "fast"],
                     default="default",
                     help="'fast' measures serve.py's --profile fast "
-                         "composition (int8_dynamic + cfg_interval + "
-                         "midpoint); results land under their own key "
-                         "in the artifact")
+                         "composition (int8_dynamic + cfg_interval; "
+                         "midpoint is deliberately not part of it); "
+                         "results land under their own key in the "
+                         "artifact")
     ap.add_argument("--request-timeout", type=float, default=120.0,
                     help="serve-side wait ceiling; low values exercise "
                          "admission control (429 + Retry-After) under "
@@ -148,6 +149,8 @@ def main() -> None:
             # a well-behaved client under admission control: honor 429's
             # Retry-After and retry until served (total latency includes
             # backoff time — the honest number for the end user)
+            served = False
+            conn_errors = 0
             for attempt in range(50):
                 r = urllib.request.Request(
                     f"http://127.0.0.1:{port}/synthesize", data=body,
@@ -156,6 +159,7 @@ def main() -> None:
                     with urllib.request.urlopen(r, timeout=600) as resp:
                         assert resp.status == 200
                         resp.read()
+                    served = True
                     break
                 except urllib.error.HTTPError as exc:
                     exc.read()
@@ -174,9 +178,19 @@ def main() -> None:
                         continue
                     raise
                 except (ConnectionResetError, OSError):
-                    if attempt >= 2:
+                    # counted separately: 429 backoffs must not consume
+                    # the connection-error retry budget
+                    conn_errors += 1
+                    if conn_errors > 3:
                         raise
-                    time.sleep(0.2 * (attempt + 1))
+                    time.sleep(0.2 * conn_errors)
+            if not served:
+                # never count an unserved request as a latency sample —
+                # a silent fall-through here corrupted p50/p95/req_per_s
+                raise RuntimeError(
+                    f"request {i} never served after 50 attempts "
+                    f"(last body {len(body)}B)"
+                )
             dt = time.perf_counter() - t
             with lat_lock:
                 lat.append(dt)

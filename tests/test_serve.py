@@ -536,9 +536,11 @@ def test_admission_control_429(server_port):
     b = serve.MicroBatcher.__new__(serve.MicroBatcher)  # no dispatcher
     b._max_batch = 2
     b._max_queue = 64
-    b._queues = {}
-    b._queued = 10            # backlog of 10 → 6 solves ahead
-    b._solve_ewma_s = 5.0     # projected 30 s >> 1 s timeout
+    # real queued entries: the projected wait counts per-key solves
+    b._queues = {("k", i): [serve._Request(f"t{j}", 0) for j in range(2)]
+                 for i in range(5)}  # 5 keys x 2 reqs -> 5 solves ahead
+    b._queued = 10
+    b._solve_ewma_s = 5.0     # projected 25 s >> 1 s timeout
     b._cv = threading.Condition()
     b.merged_batches = 0
     b.shed_requests = 0
