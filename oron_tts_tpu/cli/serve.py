@@ -136,10 +136,12 @@ class MicroBatcher:
         self._cv = threading.Condition()
         self._queues: dict[tuple, list[_Request]] = {}
         self._queued = 0  # requests currently waiting (incl. abandoned)
-        # EWMA of one batched solve's wall time, seeded at a warm Base
-        # 120-char solve (~0.7 s); it converges to the live mix within a
-        # few batches and drives the projected-wait admission estimate
-        self._solve_ewma_s = 0.7
+        # EWMA of one batched solve's wall time; drives the projected-
+        # wait admission estimate. Seeded CONSERVATIVELY at a full
+        # merged-batch Base solve (~2 s): the shed-demo measurement
+        # (SERVE_LOAD_shed.json) showed a low prior admits the first
+        # overload wave into certain 504s before the EWMA converges
+        self._solve_ewma_s = 2.0
         self.merged_batches = 0  # telemetry: batches serving >1 request
         self.shed_requests = 0   # telemetry: admissions refused (429)
         self._thread = threading.Thread(target=self._loop, daemon=True)
